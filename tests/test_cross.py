@@ -1,0 +1,74 @@
+"""Cross-approximation tests (reference tests/test_cross.py + min/max)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from util import random_format
+
+np.random.seed(7)
+
+
+def test_domain():
+    def function(Xs):
+        return 1.0 / jnp.sum(Xs, axis=1)  # Hilbert tensor
+
+    domain = [jnp.arange(1, 33, dtype=jnp.float64) for _ in range(5)]
+    t = tn.cross(
+        function=function, domain=domain, function_arg="matrix", verbose=False, seed=0
+    )
+    gt = 1.0 / jnp.sum(
+        jnp.stack(jnp.meshgrid(*domain, indexing="ij"), axis=0), axis=0
+    )
+    assert float(tn.relative_error(tn.Tensor(gt), t)) <= 5e-2
+
+
+def test_identity():
+    for i in range(8):
+        t = random_format([6, 7, 8, 9])
+        t2 = tn.cross(lambda x: x, tensors=[t], verbose=False, seed=i)
+        assert float(tn.relative_error(t, t2)) <= 1e-6
+
+
+def test_cross_forward():
+    t = tn.randn(8, 8, 8, 8, ranks_tt=3)
+    t2, info = tn.cross(lambda x: x**2, tensors=[t], verbose=False, return_info=True, seed=1)
+    t3 = tn.cross_forward(info, lambda x: x**2, tensors=[t])
+    assert float(tn.relative_error(t2, t3)) <= 1e-8
+
+
+def test_elementwise():
+    t = tn.rand(8, 8, 8, ranks_tt=3) + 1.5
+    x = t.numpy()
+    assert float(tn.relative_error(tn.Tensor(1 / x), 1 / t)) <= 1e-4
+    assert float(tn.relative_error(tn.Tensor(np.cos(x)), tn.cos(t))) <= 1e-4
+    assert float(tn.relative_error(tn.Tensor(np.exp(x)), tn.exp(t))) <= 1e-4
+    assert float(tn.relative_error(tn.Tensor(x**2), t**2)) <= 1e-4
+    assert float(tn.relative_error(tn.Tensor(np.sqrt(x)), tn.sqrt(t))) <= 1e-4
+
+
+def test_cumsum_cumprod():
+    t = tn.rand(5, 6, 7, ranks_tt=2, ranks_tucker=2) + 1.0
+    x = t.numpy()
+    assert np.linalg.norm(tn.cumsum(t, 1).numpy() - np.cumsum(x, 1)) <= 1e-8
+    cp = tn.cumprod(t, 0)
+    assert float(tn.relative_error(tn.Tensor(np.cumprod(x, 0)), cp)) <= 1e-4
+
+
+def test_min_max():
+    t = tn.randn(6, 6, 6, ranks_tt=2, key=jax.random.key(5))
+    x = t.numpy()
+    assert abs(float(tn.minimum(t, verbose=False)) - x.min()) <= 1e-6 * abs(x.min())
+    assert abs(float(tn.maximum(t, verbose=False)) - x.max()) <= 1e-6 * abs(x.max())
+    am = tn.argmin(t, verbose=False)
+    assert abs(x[tuple(int(i) for i in am)] - x.min()) <= 1e-10
+    aM = tn.argmax(t, verbose=False)
+    assert abs(x[tuple(int(i) for i in aM)] - x.max()) <= 1e-10
+
+
+def test_div_ops():
+    a = tn.rand(6, 6, 6, ranks_tt=2) + 1.0
+    b = tn.rand(6, 6, 6, ranks_tt=2) + 1.0
+    assert float(tn.relative_error(tn.Tensor(a.numpy() / b.numpy()), a / b)) <= 1e-4
+    assert float(tn.relative_error(tn.Tensor(2.0 / b.numpy()), 2.0 / b)) <= 1e-4

@@ -1,0 +1,117 @@
+"""Completion / sparse TT-SVD / PCE tests (reference tests/test_interpolation.py + extras)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+
+np.random.seed(11)
+
+
+def test_als_completion_constant():
+    # Reference oracle: recover a constant tensor (test_interpolation.py:6-12)
+    X = np.stack([np.random.randint(0, 5, 200) for _ in range(3)], axis=1)
+    y = jnp.ones(200)
+    t = tn.als_completion(X, y, ranks_tt=1, shape=[5, 5, 5], verbose=False)
+    assert np.linalg.norm(t.numpy() - 1) <= 1e-6
+
+
+def test_als_completion_lowrank():
+    gt = tn.rand([6, 6, 6], ranks_tt=2, key=jax.random.key(1))
+    full = gt.numpy()
+    rng = np.random.default_rng(0)
+    X = np.stack([rng.integers(0, 6, 500) for _ in range(3)], axis=1)
+    y = jnp.asarray(full[X[:, 0], X[:, 1], X[:, 2]])
+    rec = tn.als_completion(X, y, ranks_tt=2, shape=[6, 6, 6], verbose=False)
+    assert np.linalg.norm(rec.numpy() - full) / np.linalg.norm(full) <= 1e-6
+
+
+def test_sparse_tt_svd():
+    rng = np.random.default_rng(1)
+    X = np.unique(
+        np.stack([rng.integers(0, 6, 300) for _ in range(3)], axis=1), axis=0
+    )
+    y = jnp.asarray(rng.standard_normal(len(X)))
+    t = tn.sparse_tt_svd(X, y, eps=1e-12, shape=[6, 6, 6])
+    dense = np.zeros((6, 6, 6))
+    dense[X[:, 0], X[:, 1], X[:, 2]] = np.asarray(y)
+    assert np.linalg.norm(t.numpy() - dense) / np.linalg.norm(dense) <= 1e-8
+
+
+def test_feature_helpers():
+    X = jnp.asarray(np.random.rand(50, 3) * 10 - 5)
+    bbox = tn.get_bounding_box(X)
+    assert len(bbox) == 3
+    I = 16
+    Xi = tn.features2indices(X, bbox=bbox, I=I)
+    assert (np.asarray(Xi) >= 0).all() and (np.asarray(Xi) < I).all()
+    Xf = tn.indices2features(Xi, bbox=bbox, I=I)
+    assert np.abs(np.asarray(Xf) - np.asarray(X)).max() <= (10 / I)
+    domain = [jnp.linspace(-5, 5, I)] * 3
+    margs = tn.empirical_marginals(X, domain)
+    for m in margs:
+        assert abs(float(jnp.sum(m)) - 1) < 1e-10
+
+
+def test_gram_schmidt():
+    x = jnp.asarray(np.random.rand(200))
+    Psi = tn.gram_schmidt(x, 4)
+    xp = np.asarray(x)[:, None] ** np.arange(4)[None, :]
+    B = xp @ np.asarray(Psi)
+    G = (B.T @ B) / len(x)
+    # Orthonormal w.r.t. the empirical measure
+    assert np.linalg.norm(G - np.eye(4)) <= 1e-6
+
+
+def test_lars_path():
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((100, 20))
+    beta = np.zeros(20)
+    beta[[2, 7, 11]] = [1.5, -2.0, 0.7]
+    y = X @ beta
+    path = tn.lars_path(X, y, max_nonzero=10)
+    final = path[:, -1]
+    # True support recovered among the largest coefficients
+    assert set(np.argsort(-np.abs(final))[:3]) == {2, 7, 11}
+    recon = np.linalg.norm(X @ final - y) / np.linalg.norm(y)
+    assert recon <= 1e-6
+
+
+def test_pce():
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.random((400, 2)))
+    y = X[:, 0] ** 2 + 0.5 * X[:, 1] - X[:, 0] * X[:, 1]
+    pce = tn.PCEInterpolator()
+    pce.fit(X, y, p=4, verbose=False)
+    pred = pce.predict(X)
+    assert float(jnp.linalg.norm(pred - y) / jnp.linalg.norm(y)) <= 1e-6
+    t = pce.to_tensor(domain=16, verbose=False)
+    assert t.shape == (16, 16)
+    # Evaluate the tensor on the grid and compare against the true function
+    dom = [
+        jnp.linspace(
+            pce.bbox[n][0] + (pce.bbox[n][1] - pce.bbox[n][0]) / 32,
+            pce.bbox[n][1] - (pce.bbox[n][1] - pce.bbox[n][0]) / 32,
+            16,
+        )
+        for n in range(2)
+    ]
+    G = jnp.stack(jnp.meshgrid(*dom, indexing="ij"), axis=-1).reshape(-1, 2)
+    gt = G[:, 0] ** 2 + 0.5 * G[:, 1] - G[:, 0] * G[:, 1]
+    reco = t.full().reshape(-1)
+    assert float(jnp.linalg.norm(reco - gt) / jnp.linalg.norm(gt)) <= 1e-3
+
+
+def test_save_load(tmp_path):
+    t = tn.rand([5, 6, 7], ranks_tt=3, ranks_tucker=2)
+    p = str(tmp_path / "t.npz")
+    tn.save(t, p)
+    t2 = tn.load(p)
+    assert np.linalg.norm(t2.numpy() - t.numpy()) <= 1e-12
+    tb = tn.rand([4, 5, 6], ranks_tt=2, batch=True)
+    pb = str(tmp_path / "tb.npz")
+    tn.save(tb, pb)
+    tb2 = tn.load(pb)
+    assert tb2.batch
+    assert np.linalg.norm(tb2.numpy() - tb.numpy()) <= 1e-12

@@ -1,0 +1,85 @@
+"""Orthogonalization / truncated SVD / rounding tests (reference tests/test_round.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+
+np.random.seed(2)
+
+
+def test_orthogonalization():
+    for i in range(20):
+        gt = tn.rand(np.random.randint(1, 8, np.random.randint(2, 6)))
+        t = gt.clone()
+        assert tn.relative_error(gt, t) <= 1e-7
+        t.left_orthogonalize(0)
+        assert tn.relative_error(gt, t) <= 1e-7
+        t.right_orthogonalize(t.dim() - 1)
+        assert tn.relative_error(gt, t) <= 1e-7
+        t.orthogonalize(np.random.randint(t.dim()))
+        assert tn.relative_error(gt, t) <= 1e-7
+
+
+def test_truncated_svd_batch():
+    gt = jnp.asarray(np.random.rand(2, 32, 32))
+    u, v = tn.truncated_svd(gt, batch=True)
+    for i in range(len(gt)):
+        u1, v1 = tn.truncated_svd(gt[i], batch=False)
+        assert np.allclose(u1, u[i])
+        assert np.allclose(v1, v[i])
+
+
+def test_truncated_svd_eig_batch():
+    gt = jnp.asarray(np.random.rand(2, 32, 32))
+    u, v = tn.truncated_svd(gt, batch=True, algorithm="eig")
+    for i in range(len(gt)):
+        u1, v1 = tn.truncated_svd(gt[i], batch=False, algorithm="eig")
+        assert np.allclose(u1, u[i], atol=1e-6)
+        assert np.allclose(v1, v[i], atol=1e-6)
+
+
+def test_truncated_svd_reconstruct():
+    M = jnp.asarray(np.random.rand(20, 15))
+    for left_ortho in (True, False):
+        for algorithm in ("svd", "eig"):
+            u, v = tn.truncated_svd(M, left_ortho=left_ortho, algorithm=algorithm)
+            assert np.linalg.norm(u @ v - M) <= 1e-6
+            q = u if left_ortho else v.T
+            assert np.allclose(np.asarray(q.T @ q), np.eye(q.shape[1]), atol=1e-6)
+
+
+def test_round_tt_svd():
+    for i in range(15):
+        gt = tn.rand(np.random.randint(1, 8, np.random.randint(8, 10)), ranks_tt=np.random.randint(1, 10))
+        gt.round_tt(1e-8, algorithm="svd")
+        t = gt + gt
+        t.round_tt(1e-8, algorithm="svd")
+        assert tn.relative_error(gt, t / 2) <= 1e-4
+        assert max(gt.ranks_tt) == max(t.ranks_tt)
+
+
+def test_round_tt_eig():
+    for i in range(15):
+        gt = tn.rand(np.random.randint(1, 8, np.random.randint(8, 10)), ranks_tt=np.random.randint(1, 10))
+        gt.round_tt(1e-8, algorithm="eig")
+        t = gt + gt
+        t.round_tt(1e-8, algorithm="eig")
+        assert tn.relative_error(gt, t / 2) <= 1e-7
+
+
+def test_round_tucker():
+    for i in range(10):
+        eps = np.random.rand() ** 2
+        gt = tn.rand([32] * 4, ranks_tt=8, ranks_tucker=8)
+        t = gt.clone()
+        t.round_tucker(eps=eps)
+        assert tn.relative_error(gt, t) <= eps
+
+
+def test_round_combined():
+    x = np.random.rand(10, 10, 10)
+    t = tn.Tensor(x)
+    t.round(1e-8)
+    assert np.linalg.norm(t.numpy() - x) / np.linalg.norm(x) <= 1e-7

@@ -1,0 +1,116 @@
+"""Array-tool tests (reference tests/test_tools.py + extras for untested tools)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from util import random_format
+
+np.random.seed(6)
+
+
+def test_unfolding():
+    t = jnp.asarray(np.random.rand(30, 10, 20, 10))
+    assert np.allclose(
+        tn.unfolding(t, 2, batch=False), np.transpose(t, (2, 0, 1, 3)).reshape(20, -1)
+    )
+    assert np.allclose(
+        tn.unfolding(t, 2, batch=True), np.transpose(t, (0, 3, 1, 2)).reshape(30, 10, -1)
+    )
+
+
+def test_cat():
+    for i in range(25):
+        N = np.random.randint(1, 4)
+        shape1 = np.random.randint(1, 10, N)
+        mode = np.random.randint(N)
+        shape2 = shape1.copy()
+        shape2[mode] = np.random.randint(1, 10)
+        t1 = tn.rand(shape1, ranks_tt=2, ranks_tucker=2)
+        t2 = tn.rand(shape2, ranks_tt=2)
+        gt = np.concatenate([t1.numpy(), t2.numpy()], mode)
+        assert np.linalg.norm(gt - tn.cat([t1, t2], dim=mode).numpy()) <= 1e-7
+
+
+def test_transpose_flip_unbind():
+    t = random_format([4, 5, 6])
+    x = t.numpy()
+    assert np.linalg.norm(tn.transpose(t).numpy() - x.transpose(2, 1, 0)) <= 1e-9
+    assert np.linalg.norm(tn.flip(t, [0, 2]).numpy() - x[::-1, :, ::-1]) <= 1e-9
+    parts = tn.unbind(t, 1)
+    for i, p in enumerate(parts):
+        assert np.linalg.norm(p.numpy() - x[:, i, :]) <= 1e-9
+
+
+def test_ttm():
+    t = random_format([4, 5, 6])
+    x = t.numpy()
+    U = np.random.rand(3, 5)
+    r = tn.ttm(t, jnp.asarray(U), dim=1)
+    gt = np.einsum("ab,ibj->iaj", U, x)
+    assert np.linalg.norm(r.numpy() - gt) <= 1e-8
+
+
+def test_meshgrid():
+    Xs = tn.meshgrid(3, 4, 5)
+    gts = np.meshgrid(np.arange(3), np.arange(4), np.arange(5), indexing="ij")
+    for X, gt in zip(Xs, gts):
+        assert np.allclose(X.numpy(), gt)
+
+
+def test_pad():
+    t = random_format([4, 5, 6])
+    x = t.numpy()
+    r = tn.pad(t, 8, dim=1)
+    gt = np.zeros((4, 8, 6))
+    gt[:, :5, :] = x
+    assert np.linalg.norm(r.numpy() - gt) <= 1e-9
+
+
+def test_reduce():
+    import operator
+
+    ts = [tn.rand([4, 5], ranks_tt=2) for _ in range(9)]
+    r = tn.reduce(ts, operator.add, eps=1e-12)
+    gt = sum(t.numpy() for t in ts)
+    assert np.linalg.norm(r.numpy() - gt) / np.linalg.norm(gt) <= 1e-8
+
+
+def test_sample():
+    t = tn.rand([5, 6, 7], ranks_tt=2)
+    Xs = tn.sample(t, P=10, seed=0)
+    assert Xs.shape == (10, 3)
+    assert (np.asarray(Xs) >= 0).all()
+    assert (np.asarray(Xs) < np.array([5, 6, 7])).all()
+
+
+def test_hash():
+    t = tn.rand([5, 6, 7], ranks_tt=2)
+    h1 = tn.hash(t)
+    t2 = t.clone()
+    t2.round_tt(1e-14)  # different representation, same tensor
+    h2 = tn.hash(t2)
+    assert abs(float(h1) - float(h2)) <= 1e-8
+
+
+def test_generate_basis():
+    for name in ("dct", "legendre", "chebyshev", "hermite", "identity"):
+        U = tn.generate_basis(name, (8, 5))
+        assert U.shape == (8, 5)
+
+
+def test_shift_mode():
+    t = tn.rand([4, 5, 6], ranks_tt=2)
+    x = t.numpy()
+    tn.shift_mode(t, 0, 1, eps=1e-12)
+    assert np.linalg.norm(t.numpy() - x.transpose(1, 0, 2)) <= 1e-8
+
+
+def test_mask():
+    t = tn.rand([4, 4], ranks_tt=2)
+    m = tn.zeros(4, 4)
+    m[1, 2] = 1.0
+    r = tn.mask(t, m)
+    gt = np.zeros((4, 4))
+    gt[1, 2] = t.numpy()[1, 2]
+    assert np.linalg.norm(r.numpy() - gt) <= 1e-8

@@ -1,0 +1,508 @@
+"""Completion and interpolation: ALS on sparse samples, sparse TT-SVD, and a
+polynomial chaos expansion (PCE) surrogate.
+
+Behavioral reference: /root/reference/tntorch/interpolation.py:9-630, with
+two changes:
+- LARS (least-angle regression) is implemented natively in `lars_path`
+  below — the reference depends on scikit-learn (interpolation.py:414),
+  which is CPU-only and not a dependency here;
+- `empirical_marginals` calls the (existing) `features2indices`; the
+  reference calls an undefined `tn.discretize` (interpolation.py:299).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from tntorch_tpu.utils import asarray, default_dtype, to_numpy
+
+
+def als_completion(X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbose=True):
+    """Complete a TT from P (index, value) samples by alternating least
+    squares with memoized left/right product chains
+    (reference interpolation.py:9-119)."""
+    X = np.asarray(to_numpy(X))
+    assert not np.issubdtype(X.dtype, np.floating)
+    assert X.ndim == 2
+    y = asarray(y, dtype=default_dtype())
+    assert y.ndim == 1
+    if ws is None:
+        ws = jnp.ones(len(y), dtype=y.dtype)
+    else:
+        ws = asarray(ws)
+    X = X.astype(np.int64)
+    if shape is None:
+        shape = [int(v) for v in X.max(axis=0) + 1]
+    P, N = X.shape
+    if x0 is None:
+        x0 = tn.rand(shape, ranks_tt=ranks_tt)
+    for dim in range(N):
+        if len(np.unique(X[:, dim])) != x0.shape[dim]:
+            raise ValueError("One groundtruth sample is needed for every tensor slice")
+
+    if verbose:
+        print("Completing a {}D tensor of size {} using {} samples...".format(N, list(shape), P))
+
+    normy = float(jnp.linalg.norm(y))
+    x0.orthogonalize(0)
+    cores = x0.cores
+
+    lefts = [jnp.ones((1, P, x0.cores[n].shape[0]), dtype=y.dtype) for n in range(N)]
+    rights = [None] * N
+    rights[-1] = jnp.ones((1, P, 1), dtype=y.dtype)
+    for dim in range(N - 2, -1, -1):
+        rights[dim] = jnp.einsum("ijk,kjl->ijl", cores[dim + 1][:, X[:, dim + 1], :], rights[dim + 1])
+
+    def optimize_core(mu, direction):
+        sse = 0.0
+        core = cores[mu]
+        for index in range(core.shape[1]):
+            idx = np.where(X[:, mu] == index)[0]
+            leftside = lefts[mu][0, idx, :]
+            rightside = rights[mu][:, idx, 0]
+            # Columns ordered (r_left, r_right) so the solution reshapes
+            # directly into the core slice. (The reference builds the design
+            # matrix in (r_right, r_left) order but reshapes as (r_left,
+            # r_right) — interpolation.py:80-88 — a latent defect.)
+            lhs = leftside[:, :, None]
+            rhs = rightside.T[:, None, :]
+            A = (lhs * rhs).reshape(len(idx), -1) * ws[idx, None]
+            b = y[idx] * ws[idx]
+            sol, *_ = jnp.linalg.lstsq(A, b)
+            sse = sse + jnp.sum((A @ sol - b) ** 2)
+            core = core.at[:, index, :].set(sol.reshape(core.shape[0], core.shape[2]))
+        cores[mu] = core
+        if direction == "right":
+            x0.left_orthogonalize(mu)
+            lefts[mu + 1] = jnp.einsum("ijk,kjl->ijl", lefts[mu], cores[mu][:, X[:, mu], :])
+        else:
+            x0.right_orthogonalize(mu)
+            rights[mu - 1] = jnp.einsum("ijk,kjl->ijl", cores[mu][:, X[:, mu], :], rights[mu])
+        return sse
+
+    start = time.time()
+    for swp in range(niter):
+        for mu in range(N - 1):
+            optimize_core(mu, "right")
+        for mu in range(N - 1, 0, -1):
+            sse = optimize_core(mu, "left")
+        eps = float(jnp.sqrt(sse)) / normy
+        if verbose:
+            print("iter: {: <{}}".format(swp, len("{}".format(niter)) + 1), end="")
+            print("| eps: {:.3e}".format(eps), end="")
+            print(" | time: {:8.4f}".format(time.time() - start))
+    return x0
+
+
+def sparse_tt_svd(X, y, eps, shape=None, rmax=None):
+    """TT-SVD on sparse COO data via sparse Gram covariances + eigh
+    (reference interpolation.py:122-218)."""
+    X = np.asarray(to_numpy(X))
+    y = np.asarray(to_numpy(y), dtype=np.float64)
+    assert not np.issubdtype(X.dtype, np.floating)
+    assert X.ndim == 2
+    assert y.ndim == 1
+    X = X.astype(np.int64)
+    N = X.shape[1]
+    if shape is None:
+        shape = [int(v) for v in X.max(axis=0) + 1]
+    shape = list(shape)
+    assert N == len(shape)
+    if rmax is None:
+        rmax = np.iinfo(np.int32).max
+
+    delta = eps / np.sqrt(max(N - 1, 1)) * np.linalg.norm(y)
+
+    def unique_cols(Xs):
+        u, v = np.unique(Xs[:, 1:], axis=0, return_inverse=True)
+        return u, v
+
+    def sparse_covariance(Xs, ys, nrows):
+        u, v = unique_cols(Xs)
+        D = np.zeros((nrows, len(u)))
+        D[Xs[:, 0], v] = ys
+        return D @ D.T, D, u, v
+
+    def sparse_truncate_svd(Xs, ys, nrows, delta, rmax):
+        cov, D, u, v = sparse_covariance(Xs, ys, nrows)
+        w, vecs = np.linalg.eigh(cov)
+        w = np.sqrt(np.maximum(w, 0))
+        vecs = vecs[:, ::-1]
+        w = w[::-1]
+        S = w**2
+        tail = np.cumsum(S[::-1])
+        where = np.where(tail <= delta**2)[0]
+        if len(where) == 0:
+            rank = max(1, int(min(rmax, len(S))))
+        else:
+            rank = max(1, int(min(rmax, len(S) - 1 - where[-1])))
+        left = vecs[:, :rank]
+
+        # Multiply dense basis^T with the sparse matrix -> new sparse COO
+        idx = np.unique(v, return_index=True)[1]
+        FD = left.T @ D  # rank x len(u)
+        new_row = np.remainder(np.arange(FD.size), FD.shape[0])
+        newcols = np.repeat(Xs[idx, 1:][:, None, :], FD.shape[0], axis=1)
+        newcols = newcols.reshape(len(idx) * FD.shape[0], -1)
+        newX = np.concatenate([new_row[:, None], newcols], axis=1)
+        newy = FD.T.flatten()
+        return left, newX, newy
+
+    cores = []
+    curshape = shape.copy()
+    for n in range(1, N):
+        left, X, y = sparse_truncate_svd(X, y, curshape[0], delta=delta, rmax=rmax)
+        cores.append(left.reshape(left.shape[0] // shape[n - 1], shape[n - 1], left.shape[1]))
+        curshape[0] = left.shape[1]
+        if n < N - 1:  # merge first two indices (sparse reshape)
+            X = np.concatenate([X[:, 0:1] * curshape[1] + X[:, 1:2], X[:, 2:]], axis=1)
+            curshape[1] *= curshape[0]
+            curshape = curshape[1:]
+
+    lastcore = np.zeros(curshape)
+    lastcore[tuple(X.T)] = y
+    cores.append(lastcore[:, :, None])
+    dtype = default_dtype()
+    return tn.Tensor([jnp.asarray(c, dtype=dtype) for c in cores])
+
+
+def get_bounding_box(X):
+    """Bounding box of a point set (reference interpolation.py:221-232)."""
+    X = asarray(X)
+    return [
+        (float(jnp.min(X[..., n])), float(jnp.max(X[..., n])))
+        for n in range(X.shape[-1])
+    ]
+
+
+def features2indices(X, bbox=None, I=512, domain=None):
+    """Continuous features -> discrete grid indices (reference interpolation.py:235-264)."""
+    X = np.asarray(to_numpy(X), dtype=np.float64)
+    if domain is not None:
+        out = np.zeros_like(X)
+        for n in range(X.shape[1]):
+            dn = np.asarray(to_numpy(domain[n]))
+            out[:, n] = np.interp(X[:, n], dn, np.arange(len(dn)))
+        return jnp.asarray(np.round(out).astype(np.int64))
+    if bbox is None:
+        bbox = get_bounding_box(X)
+    assert len(bbox) == X.shape[-1]
+    bbox = np.asarray(bbox, dtype=np.float64)
+    X = X - bbox[:, 0][(None,) * (X.ndim - 1) + (slice(None),)]
+    X = X / (bbox[:, 1] - bbox[:, 0])[(None,) * (X.ndim - 1) + (slice(None),)]
+    X = np.round(X * (I - 1)).astype(np.int64)
+    X[X < 0] = 0
+    X[X > I - 1] = I - 1
+    return jnp.asarray(X)
+
+
+# Alias used by some reference callers
+discretize = features2indices
+
+
+def indices2features(X, bbox=None, I=512, domain=None):
+    """Discrete grid indices -> cell-centered features (reference interpolation.py:267-281)."""
+    X = np.asarray(to_numpy(X))
+    assert not np.issubdtype(X.dtype, np.floating)
+    assert X.ndim == 2
+    if domain is None:
+        domain = [
+            np.linspace(b[0] + (b[1] - b[0]) / (2 * I), b[1] - (b[1] - b[0]) / (2 * I), I)
+            for b in bbox
+        ]
+    result = np.zeros(X.shape)
+    for n in range(X.shape[1]):
+        result[:, n] = np.asarray(to_numpy(domain[n]))[X[:, n]]
+    return jnp.asarray(result, dtype=default_dtype())
+
+
+def empirical_marginals(X, domain):
+    """Discrete marginal distributions of a sample set over a grid
+    (reference interpolation.py:284-304, with the undefined-`discretize`
+    defect fixed)."""
+    X = asarray(X)
+    assert X.ndim == 2
+    assert X.shape[1] == len(domain)
+    P, N = X.shape
+    X_discrete = np.asarray(features2indices(X, domain=domain))
+    result = [np.zeros(len(domain[n])) for n in range(N)]
+    for n in range(N):
+        unique, counts = np.unique(X_discrete[:, n], return_counts=True)
+        result[n][unique] = counts.astype(np.float64) / P
+    return [jnp.asarray(r, dtype=default_dtype()) for r in result]
+
+
+def gram_schmidt(x, S):
+    """Data-driven orthogonal polynomial basis w.r.t. an empirical measure
+    (Witteveen & Bijl 2012; reference interpolation.py:307-344)."""
+    x = asarray(x)
+    assert x.ndim == 1
+    xpowers = x[:, None] ** jnp.arange(S)[None, :]
+
+    def proj(u, v):
+        xu = xpowers @ u
+        xv = xpowers @ v
+        return jnp.mean(xu * xv) / jnp.mean(xu * xu) * u
+
+    def norm(u):
+        xu = xpowers @ u
+        return jnp.sqrt(jnp.mean(xu * xu))
+
+    Psi = jnp.eye(S, dtype=x.dtype)
+    for s in range(1, S):
+        u = Psi[:, s]
+        for k in range(s):
+            u = u - proj(Psi[:, k], u)
+        Psi = Psi.at[:, s].set(u / norm(u))
+    return Psi
+
+
+def lars_path(X, y, max_nonzero: Optional[int] = None):
+    """Least Angle Regression (Efron et al. 2004), returning the full
+    coefficient path. Native NumPy implementation — replaces the reference's
+    sklearn.linear_model.Lars dependency (interpolation.py:506-509).
+
+    :param X: design matrix (P x M), columns assumed non-degenerate
+    :param y: target vector (P,)
+    :param max_nonzero: stop after this many active features (default: min(P, M))
+    :return: coef_path, an (M x K) matrix; column k has k active coefficients
+    """
+    X = np.asarray(to_numpy(X), dtype=np.float64)
+    y = np.asarray(to_numpy(y), dtype=np.float64)
+    P, M = X.shape
+    if max_nonzero is None:
+        max_nonzero = min(P, M)
+    max_nonzero = min(max_nonzero, min(P, M))
+
+    coef = np.zeros(M)
+    path = [coef.copy()]
+    active: list = []
+    residual = y.copy()
+    tiny = 1e-12
+
+    while len(active) < max_nonzero:
+        c = X.T @ residual
+        C = np.abs(c).max()
+        if C < tiny:
+            break
+        inactive = np.setdiff1d(np.arange(M), active)
+        # Add the most correlated inactive feature
+        j = inactive[np.argmax(np.abs(c[inactive]))]
+        active.append(int(j))
+        s = np.sign(c[active])
+        XA = X[:, active] * s[None, :]
+        G = XA.T @ XA
+        try:
+            w = np.linalg.solve(G, np.ones(len(active)))
+        except np.linalg.LinAlgError:
+            w = np.linalg.lstsq(G, np.ones(len(active)), rcond=None)[0]
+        denom = np.sqrt(max(np.sum(w), tiny))
+        AA = 1.0 / denom
+        w = AA * w
+        u = XA @ w  # equiangular direction
+        a = X.T @ u
+
+        if len(active) < M and len(active) < max_nonzero:
+            ina = np.setdiff1d(np.arange(M), active)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                g1 = (C - c[ina]) / (AA - a[ina])
+                g2 = (C + c[ina]) / (AA + a[ina])
+            candidates = np.concatenate([g1, g2])
+            candidates = candidates[np.isfinite(candidates) & (candidates > tiny)]
+            gamma = candidates.min() if len(candidates) else C / AA
+            gamma = min(gamma, C / AA)
+        else:
+            gamma = C / AA
+
+        coef[active] += gamma * s * w
+        residual = residual - gamma * u
+        path.append(coef.copy())
+
+    return np.stack(path, axis=1)  # M x K
+
+
+class PCEInterpolator:
+    """Polynomial chaos expansion surrogate with hyperbolic truncation and
+    LARS coefficient selection (Torre et al. 2020; reference
+    interpolation.py:347-630). Uses the native `lars_path` above."""
+
+    def __init__(self):
+        pass
+
+    def _design_matrix(self, x):
+        N = len(self.Psis)
+        S = self.Psis[0].shape[0]
+        M = jnp.concatenate(
+            [
+                ((x[:, n : n + 1] ** jnp.arange(S)[None, :]) @ self.Psis[n])[:, None, :]
+                for n in range(N)
+            ],
+            axis=1,
+        )
+        idx = np.tile(np.arange(N)[None, :], (len(self.coords), 1))
+        M = M[:, idx.flatten(), np.asarray(self.coords).flatten()]
+        M = M.reshape(-1, self.coords.shape[0], self.coords.shape[1])
+        return jnp.prod(M, axis=2)
+
+    def fit(self, X, y, p=5, q=0.75, val_split=0.1, seed=0, matrix_size_limit=5e7,
+            retrain=True, verbose=True):
+        """Fit via hyperbolic truncation + LARS; best nnz chosen on a
+        validation split (reference interpolation.py:385-555)."""
+        X = asarray(X, dtype=default_dtype())
+        y = asarray(y, dtype=default_dtype())
+        assert X.ndim == 2
+        P, N = X.shape
+        assert y.shape[0] == P
+        assert y.ndim == 1
+        assert 0 <= q <= 1
+
+        self.bbox = get_bounding_box(X)
+        self.X_mean = jnp.mean(X, axis=0)
+        self.X_std = jnp.std(X, axis=0, ddof=1)
+        X = (X - self.X_mean[None, :]) / self.X_std[None, :]
+
+        n_val = int(P * val_split)
+        rng = np.random.default_rng(seed=seed)
+        idx_val = rng.choice(P, n_val)
+        idx_train = np.delete(np.arange(P), idx_val)
+        y_train = y[idx_train]
+        y_val = y[idx_val]
+
+        if verbose:
+            start = time.time()
+            print(
+                "PCE interpolation (p={}, q={}) of {} points ({} train + {} val) in {}D".format(
+                    p, q, P, P - n_val, n_val, N
+                )
+            )
+            print("{:.3f}s | ".format(time.time() - start), end="")
+            print("Hyperbolic truncation...", end="")
+
+        idx = np.zeros(N, dtype=np.int64)
+
+        def find_candidates(p, q):
+            # Traverse the coefficient hypercube; hyperbolic truncation keeps
+            # a contiguous region so this enumeration is cheap
+            S = int(np.ceil(p))
+            coords = []
+            while True:
+                pos = N - 1
+                while pos >= 0 and (max(idx) >= S or np.sum(idx.astype(np.float64) ** q) >= p**q):
+                    idx[pos] = 0
+                    idx[pos - 1] += 1
+                    pos -= 1
+                if pos < 0:
+                    break
+                coords.append(idx.copy())
+                idx[-1] += 1
+                if len(coords) * P > matrix_size_limit:
+                    raise ValueError(
+                        "Design matrix exceeds matrix_size_limit ({:g} elements). "
+                        "Decrease p or q, or increase matrix_size_limit".format(matrix_size_limit)
+                    )
+            return np.array(coords, dtype=np.int64)
+
+        self.coords = find_candidates(p, q)
+        S = int(np.ceil(p))
+
+        if verbose:
+            print(" done, we kept {} / {} candidates".format(len(self.coords), S**N))
+            print("{:.3f}s | ".format(time.time() - start), end="")
+            print("Assembling a {} X {} design matrix...".format(P, len(self.coords)), end="", flush=True)
+
+        self.Psis = [gram_schmidt(X[:, n], S) for n in range(N)]
+        M = self._design_matrix(X)
+        M_train = M[idx_train, ...]
+        M_val = M[idx_val, ...]
+
+        if verbose:
+            print(" done")
+            print("{:.3f}s | ".format(time.time() - start), end="")
+            print("Finding best nnz in LARS...", end="", flush=True)
+
+        coef_path = lars_path(M_train, y_train)  # M x K
+        reco_path = np.asarray(M_val) @ coef_path
+        error_path = np.sqrt(np.sum((reco_path - np.asarray(y_val)[:, None]) ** 2, axis=0)) / max(
+            float(jnp.linalg.norm(y_val)), 1e-300
+        )
+        argmin = int(np.argmin(error_path))
+        nnz = len(np.where(coef_path[:, argmin])[0])
+
+        if verbose:
+            print(" done, val eps={:.5g}".format(error_path[argmin]))
+            print("{:.3f}s | ".format(time.time() - start), end="")
+
+        if retrain:
+            if verbose:
+                print("Retraining at nnz={}...".format(nnz), end="", flush=True)
+            coef_full_path = lars_path(M, y, max_nonzero=nnz)
+            coef_ = coef_full_path[:, -1]
+            nonzeros = np.where(coef_)[0]
+            self.allcoords = self.coords
+            self.allcoef = jnp.asarray(coef_)
+            self.coef = jnp.asarray(coef_[nonzeros])
+            self.coords = self.coords[nonzeros, :]
+            if verbose:
+                reco = M[:, nonzeros] @ self.coef
+                print(" done, training eps={:.5g}".format(float(jnp.linalg.norm(y - reco) / jnp.linalg.norm(y))))
+                print("{:.3f}s".format(time.time() - start), flush=True)
+                print()
+        else:
+            nonzeros = np.where(coef_path[:, argmin])[0]
+            self.coef = jnp.asarray(coef_path[nonzeros, argmin])
+            self.coords = self.coords[nonzeros, :]
+            if verbose:
+                print()
+
+    def predict(self, X):
+        """Evaluate the surrogate at new inputs (reference interpolation.py:557-566)."""
+        X = asarray(X, dtype=default_dtype())
+        return self._design_matrix((X - self.X_mean[None, :]) / self.X_std[None, :]) @ self.coef
+
+    def to_tensor(self, domain=512, rmax=200, eps=1e-3, verbose=True):
+        """Convert to a TT-Tucker tensor: sparse TT-SVD of the coefficient set
+        + polynomial-basis Tucker factors (reference interpolation.py:568-630)."""
+        N = len(self.Psis)
+        S = self.Psis[0].shape[0]
+        if not isinstance(domain, (list, tuple)):
+            domain = [
+                jnp.linspace(
+                    self.bbox[n][0] + (self.bbox[n][1] - self.bbox[n][0]) / (2 * domain),
+                    self.bbox[n][1] - (self.bbox[n][1] - self.bbox[n][0]) / (2 * domain),
+                    domain,
+                )
+                for n in range(N)
+            ]
+        assert len(domain) == N
+        domain_centered = [(asarray(domain[n]) - self.X_mean[n]) / self.X_std[n] for n in range(N)]
+
+        if verbose:
+            start = time.time()
+            print("Conversion to TT-Tucker format (rmax={}, eps={:.5g})".format(rmax, eps))
+            print("{:.3f}s | ".format(time.time() - start), end="")
+            print("Sparse TT-SVD...", end="", flush=True)
+
+        t = sparse_tt_svd(self.coords, self.coef, rmax=rmax, eps=eps)
+
+        if verbose:
+            err = jnp.linalg.norm(t[self.coords].full() - self.coef) / jnp.linalg.norm(self.coef)
+            print(" done, rmax={}, eps={:.5g}".format(max(t.ranks_tt), float(err)))
+
+        Us = []
+        for n in range(N):
+            Us.append(
+                (domain_centered[n][:, None] ** jnp.arange(S)).astype(default_dtype())
+                @ self.Psis[n][:, : t.shape[n]]
+            )
+        t.Us = Us
+
+        if verbose:
+            print("{:.3f}s".format(time.time() - start), flush=True)
+            print()
+        return t

@@ -1,0 +1,114 @@
+"""Quasi-max-volume pivot selection for cross-approximation.
+
+Fresh implementations of the classic maxvol algorithm (Goreinov et al.,
+"How to find a good submatrix", 2010) and its rectangular variant
+(Mikhalev & Oseledets, "Rectangular maximum-volume submatrices and their
+applications", 2018). Functional reference for call signatures:
+/root/reference/tntorch/maxvol.py:30-170.
+
+These run on the host in NumPy: the pivot search is an inherently
+sequential argmax + rank-1-update iteration on a small (N x r, r <= rmax)
+matrix — latency-bound, not FLOP-bound — and the reference itself ships the
+matrices to CPU before pivoting (cross.py:400-402). The heavy work (fiber
+evaluation, QR) stays on device in cross.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+
+def _initial_pivots(A: np.ndarray) -> np.ndarray:
+    """Row pivots from a partially pivoted LU of A (N x r, N > r)."""
+    N, r = A.shape
+    # scipy's lu_factor returns ipiv as successive row swaps
+    _, piv = scipy.linalg.lu_factor(np.asfortranarray(A), check_finite=False)
+    index = np.arange(N)
+    for i in range(r):
+        index[i], index[piv[i]] = index[piv[i]], index[i]
+    return index
+
+
+def maxvol(A, tol: float = 1.05, max_iters: int = 100):
+    """Select r rows of A (N x r) whose submatrix has quasi-maximal volume.
+
+    Returns (row_indices [r], C = A @ inv(A[rows]) [N x r]).
+    """
+    A = np.asarray(A)
+    tol = max(tol, 1.0)
+    N, r = A.shape
+    if N <= r:
+        return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
+
+    index = _initial_pivots(A)
+    rows = index[:r]
+    # Coefficients C = A @ inv(A[rows]): solve A[rows]^T X^T = A^T
+    C = scipy.linalg.solve(A[rows].T, A.T, check_finite=False).T
+
+    for _ in range(max_iters):
+        flat = np.argmax(np.abs(C))
+        i, j = divmod(flat, r)
+        if abs(C[i, j]) <= tol:
+            break
+        # Swap global row i into pivot slot j; rank-1 update of C
+        index[j] = i
+        col = C[:, j].copy()
+        row = C[i, :].copy()
+        row[j] -= 1.0
+        C -= np.outer(col / C[i, j], row)
+    return index[:r].copy(), C
+
+
+def rect_maxvol(
+    A,
+    tol: float = 1.0,
+    maxK: int = None,
+    min_add_K: int = None,
+    minK: int = None,
+    start_maxvol_iters: int = 10,
+    identity_submatrix: bool = True,
+):
+    """Greedy rectangular maxvol: start from square maxvol pivots and keep
+    adding the row with the largest coefficient norm until it drops below
+    `tol` (or K bounds are hit). Returns (row_indices [K], C [N x K])."""
+    A = np.asarray(A)
+    tol2 = tol**2
+    N, r = A.shape
+    if N <= r:
+        return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
+    maxK = N if maxK is None or maxK > N else max(maxK, r)
+    minK = r if minK is None or minK < r else min(minK, N)
+    if min_add_K is not None:
+        minK = max(minK, r + min_add_K)
+    minK = min(minK, maxK)
+
+    index = np.zeros(N, dtype=np.int64)
+    chosen = np.ones(N)
+    tmp_index, C = maxvol(A, 1.05, start_maxvol_iters)
+    index[:r] = tmp_index
+    chosen[tmp_index] = 0
+
+    row_norm_sqr = np.einsum("ij,ij->i", C, C.conj()).real * chosen
+    i = int(np.argmax(row_norm_sqr))
+    K = r
+    while (row_norm_sqr[i] > tol2 and K < maxK) or K < minK:
+        index[K] = i
+        chosen[i] = 0
+        c = C[i].copy()
+        v = C.dot(c.conj())
+        l = 1.0 / (1 + v[i])
+        C = C - l * np.outer(v, c)
+        C = np.hstack([C, l * v.reshape(-1, 1)])
+        row_norm_sqr = (row_norm_sqr - (l * v * v.conj()).real) * chosen
+        i = int(np.argmax(row_norm_sqr))
+        K += 1
+
+    if identity_submatrix:
+        C[index[:K]] = np.eye(K, dtype=C.dtype)
+    return index[:K].copy(), C
+
+
+# Aliases kept for reference-API parity (tntorch exposes py_* names)
+py_maxvol = maxvol
+py_rect_maxvol = rect_maxvol

@@ -1,0 +1,297 @@
+"""Inner products and statistics computed fully in compressed form.
+
+Behavioral reference: /root/reference/tntorch/metrics.py:7-478. The core-chain
+contraction in `dot` lowers to a chain of batched matmuls (MXU-shaped under
+jit); all other metrics ride on it or on `ttm` rank-1 contractions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from tntorch_tpu.utils import asarray
+
+
+def _process(gt, approx):
+    """Decompress if exactly one side is compressed (reference metrics.py:7-25)."""
+    is1 = isinstance(gt, tn.Tensor)
+    is2 = isinstance(approx, tn.Tensor)
+    if is1 and is2:
+        return gt, approx
+    if is1:
+        if gt.batch:
+            raise ValueError("Batched tensors are not supported.")
+        gt = gt.full()
+    if is2:
+        if approx.batch:
+            raise ValueError("Batched tensors are not supported.")
+        approx = approx.full()
+    if not is1:
+        gt = asarray(gt)
+    if not is2:
+        approx = asarray(approx)
+    return gt, approx
+
+
+def dot(t1, t2, k=None):
+    """Generalized dot: contract the k leading dims (reference metrics.py:28-116)."""
+
+    def _project_spatial(core, M):
+        if core.ndim == 3:
+            return jnp.einsum("iak,aj->ijk", core, M)
+        return jnp.einsum("ak,aj->jk", core, M)
+
+    def _project_left(core, M):
+        if core.ndim == 3:
+            return jnp.einsum("sr,rai->sai", M, core)
+        return jnp.einsum("sr,ar->sar", M, core)
+
+    t1, t2 = _process(t1, t2)
+    if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
+        return jnp.dot(t1.reshape(-1), t2.reshape(-1))
+
+    Lprod = jnp.ones((int(t2.ranks_tt[0]), int(t1.ranks_tt[0])), dtype=t1.cores[0].dtype)
+    if k is None:
+        k = min(t1.dim(), t2.dim())
+    assert k <= t1.dim() and k <= t2.dim()
+    if not np.array_equal(t1.shape[:k], t2.shape[:k]):
+        raise ValueError(
+            "Dot product requires leading dimensions to be equal, but they are {} and {}".format(
+                t1.shape[:k], t2.shape[:k]
+            )
+        )
+
+    for mu in range(k):
+        core1 = t1.cores[mu]
+        core2 = t2.cores[mu]
+        # Absorb Tucker factors
+        if t1.Us[mu] is None:
+            if t2.Us[mu] is not None:
+                core1 = _project_spatial(core1, t2.Us[mu])
+        elif t2.Us[mu] is None:
+            core2 = _project_spatial(core2, t1.Us[mu])
+        else:
+            core2 = _project_spatial(core2, t2.Us[mu].T @ t1.Us[mu])
+        # Advance the running left product
+        Ucore = _project_left(core1, Lprod)
+        Vcore = core2
+        if Vcore.ndim == 3:
+            Lprod = tn.left_unfolding(Vcore).T @ tn.left_unfolding(Ucore)
+        else:
+            Lprod = jnp.einsum("as,sar->sr", Vcore, Ucore)
+
+    if k < t1.dim():
+        t1trail = tn.Tensor(list(t1.cores[k:]), list(t1.Us[k:]))
+        t1trail.cores[0] = _project_left(t1trail.cores[0], Lprod)
+        if k == t2.dim():
+            return t1trail
+        t2trail = tn.Tensor(list(t2.cores[k:]), list(t2.Us[k:]))
+        t1trail = tn.transpose(t1trail)
+        return tn.Tensor(t1trail.cores + t2trail.cores, Us=t1trail.Us + t2trail.Us)
+    if k == t2.dim():
+        return jnp.sum(Lprod)
+    t2trail = tn.Tensor(list(t2.cores[k:]), list(t2.Us[k:]))
+    t2trail.cores[0] = _project_left(t2trail.cores[0], Lprod.T)
+    return t2trail
+
+
+def dist(t1, t2):
+    """Euclidean distance in compressed form (reference metrics.py:119-132)."""
+    t1, t2 = _process(t1, t2)
+    if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
+        return jnp.linalg.norm((t1 - t2).reshape(-1))
+    return jnp.sqrt(
+        jnp.clip(dot(t1, t1) + dot(t2, t2) - 2 * jnp.clip(dot(t1, t2), min=None), min=0)
+    )
+
+
+def relative_error(gt, approx):
+    """||gt - approx|| / ||gt|| fully in compressed form (reference metrics.py:135-151)."""
+    gt, approx = _process(gt, approx)
+    if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
+        return jnp.linalg.norm((gt - approx).reshape(-1)) / jnp.linalg.norm(gt.reshape(-1))
+    dotgt = dot(gt, gt)
+    return jnp.sqrt(
+        jnp.clip(dotgt + dot(approx, approx) - 2 * dot(gt, approx), min=0)
+    ) / jnp.sqrt(jnp.clip(dotgt, min=0))
+
+
+def rmse(gt, approx):
+    """Root-mean-square error (reference metrics.py:154-167)."""
+    gt, approx = _process(gt, approx)
+    if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
+        return jnp.linalg.norm((gt - approx).reshape(-1)) / np.sqrt(gt.size)
+    return dist(gt, approx) / np.sqrt(gt.numel())
+
+
+def r_squared(gt, approx):
+    """R^2 score (reference metrics.py:170-183)."""
+    gt, approx = _process(gt, approx)
+    if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
+        d = jnp.linalg.norm((gt - approx).reshape(-1))
+        dm = jnp.linalg.norm((gt - jnp.mean(gt)).reshape(-1))
+        return 1 - d**2 / dm**2
+    return 1 - dist(gt, approx) ** 2 / normsq(gt - mean(gt))
+
+
+def sum(t, dim=None, keepdim=False, _normalize=False):
+    """Sum over all or some modes via rank-1 contractions (reference metrics.py:186-220)."""
+    if t.batch:
+        raise ValueError("Batched tensors are not supported.")
+    if dim is None:
+        dim = np.arange(t.dim())
+    if not hasattr(dim, "__len__"):
+        dim = [dim]
+    dtype = t.cores[0].dtype
+    if _normalize:
+        us = [jnp.ones(t.shape[d], dtype=dtype) / t.shape[d] for d in dim]
+    else:
+        us = [jnp.ones(t.shape[d], dtype=dtype) for d in dim]
+    result = tn.ttm(t, us, dim)
+    if keepdim:
+        return result
+    return tn.squeeze(result)
+
+
+def mean(t, dim=None, marginals=None, keepdim=False):
+    """Mean over modes, optionally weighted by marginal PMFs (reference metrics.py:223-244)."""
+    if marginals is not None:
+        pdfcores = [jnp.ones((1, sh, 1), dtype=t.cores[0].dtype) / sh for sh in t.shape]
+        if dim is None:
+            dim = range(t.dim())
+        for d, marg in zip(dim, marginals):
+            marg = asarray(marg)
+            pdfcores[d] = marg[None, :, None] / jnp.sum(marg)
+        pdf = tn.Tensor(pdfcores)
+        return sum(t * pdf, dim, keepdim)
+    return sum(t, dim, keepdim, _normalize=True)
+
+
+def var(t, marginals=None):
+    """Variance (reference metrics.py:247-263)."""
+    if marginals is not None:
+        assert len(marginals) == t.dim()
+        tcentered = t - mean(t, marginals=marginals)
+        pdf = tn.Tensor([asarray(m)[None, :, None] / jnp.sum(asarray(m)) for m in marginals])
+        return dot(tcentered * pdf, tcentered)
+    return normsq(t - mean(t)) / t.numel()
+
+
+def std(t):
+    return jnp.sqrt(var(t))
+
+
+def skew(t):
+    """Skewness via cross-approximated powers (reference metrics.py:278-287)."""
+    return mean(((t - mean(t)) / std(t)) ** 3)
+
+
+def kurtosis(t, fisher=True):
+    """Kurtosis, Fisher (excess) by default (reference metrics.py:290-300)."""
+    return mean(((t - mean(t)) / std(t)) ** 4) - fisher * 3
+
+
+def raw_moment(t, k, marginals=None, eps=1e-6, algorithm="eig"):
+    """E[t^k] via Hadamard-dot (reference metrics.py:303-319)."""
+    if marginals is not None:
+        pdf = tn.Tensor([asarray(m)[None, :, None] / jnp.sum(asarray(m)) for m in marginals])
+        return hadamard_sum([t] * (k - 1) + [t * pdf], eps=eps, algorithm=algorithm)
+    return hadamard_sum([t] * k, eps=eps, algorithm=algorithm) / t.numel()
+
+
+def normalized_moment(t, k, marginals=None, eps=1e-12, algorithm="eig"):
+    """E[(t - E t)^k] / sigma^k (reference metrics.py:322-342)."""
+    return raw_moment(
+        t - mean(t, marginals=marginals), k=k, marginals=marginals, eps=eps, algorithm=algorithm
+    ) / var(t, marginals=marginals) ** (k / 2.0)
+
+
+def hadamard_sum(ts, algorithm="exact", eps=None):
+    """Sum of the Hadamard product of M tensors: exact contraction or the
+    MRF-style rounded algorithm (reference metrics.py:345-454)."""
+    M = len(ts)
+
+    def diag_core(c, m):
+        # TT core (Rl x I x Rr) -> (I x Rl x Rr x I) with diagonal structure
+        Rl, I, Rr = c.shape
+        eye = jnp.eye(I, dtype=c.dtype)
+        # core[a, i, j, b] = delta(a,b) * c[i, a, j]
+        core = eye[:, None, None, :] * jnp.transpose(c, (1, 0, 2))[:, :, :, None]
+        if m == 0:
+            core = jnp.sum(core, axis=0, keepdims=True)
+        if m == M - 1:
+            core = jnp.sum(core, axis=-1, keepdims=True)
+        return core
+
+    def get_tensor(cores):
+        cs = []
+        for m in range(M):
+            c = diag_core(cores[m], m)
+            cs.append(c.reshape(c.shape[0], c.shape[1] * c.shape[2], c.shape[3]))
+        t = tn.Tensor(cs)
+        t.round_tt(eps, algorithm=algorithm)
+        cs = t.cores
+        return [
+            cs[m].reshape(cs[m].shape[0], cores[m].shape[0], cores[m].shape[2], cs[m].shape[-1])
+            for m in range(M)
+        ]
+
+    assert all(ts[0].shape == ts[i].shape for i in range(1, len(ts)))
+    tstt = []
+    for m in range(M):
+        if ts[m].batch:
+            raise ValueError("Batched tensors are not supported.")
+        t = ts[m].decompress_tucker_factors()
+        t._cp_to_tt()
+        tstt.append(t)
+    ts = tstt
+
+    if algorithm == "exact":
+        K = len(ts)
+        N = ts[0].dim()
+        core = jnp.ones([1] * K, dtype=ts[0].cores[0].dtype)
+        for n in range(N):
+            B = ts[0].shape[n]
+            core = jnp.tile(core[None], [B] + [1] * K)
+            for i in range(K):
+                neworder = [0, *list(np.delete(np.arange(1, K + 1), i)), i + 1]
+                undo = list(np.argsort(neworder))
+                unfolded = jnp.transpose(core, neworder)
+                shape = list(unfolded.shape)
+                unfolded = unfolded.reshape(B, -1, core.shape[i + 1])
+                unfolded = jnp.matmul(unfolded, jnp.transpose(ts[i].cores[n], (1, 0, 2)))
+                shape[-1] = ts[i].cores[n].shape[2]
+                unfolded = unfolded.reshape(shape)
+                core = jnp.transpose(unfolded, undo)
+            core = jnp.sum(core, axis=0)
+        return core.reshape(())
+
+    N = ts[0].dim()
+    thiscores = get_tensor([t.cores[0] for t in ts])
+    for n in range(1, N):
+        nextcores = get_tensor([t.cores[n] for t in ts])
+        newcores = []
+        for m in range(M):
+            c = jnp.einsum("ijkl,akbc->iajblc", thiscores[m], nextcores[m])
+            c = c.reshape(
+                c.shape[0] * c.shape[1] * c.shape[2], c.shape[3], c.shape[4] * c.shape[5]
+            )
+            newcores.append(c)
+        thiscores = tn.round_tt(tn.Tensor(newcores), eps=eps, algorithm=algorithm).cores
+        if n < N - 1:
+            thiscores = [
+                tc.reshape(tc.shape[0], 1, tc.shape[1], -1) for tc in thiscores
+            ]
+        else:
+            return tn.Tensor(thiscores).full().reshape(())
+
+
+def normsq(t):
+    return dot(t, t)
+
+
+def norm(t):
+    return jnp.sqrt(jnp.clip(normsq(t), min=0))

@@ -1,0 +1,133 @@
+"""Functional rounding wrappers and the truncated-SVD kernel.
+
+Behavioral reference: /root/reference/tntorch/round.py:7-187. The SVD /
+Gram-eigh factorizations run batched on device (JAX linalg broadcasts over
+leading axes, replacing the reference's per-branch batch code); only the
+data-dependent rank choice syncs singular values to the host, since XLA
+needs static output shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+
+
+def round_tt(t, **kwargs):
+    """Copy-and-round via Tensor.round_tt (reference round.py:7-19)."""
+    t2 = t.clone()
+    t2.round_tt(**kwargs)
+    return t2
+
+
+def round_tucker(t, **kwargs):
+    t2 = t.clone()
+    t2.round_tucker(**kwargs)
+    return t2
+
+
+def round(t, **kwargs):
+    t2 = t.clone()
+    t2.round(**kwargs)
+    return t2
+
+
+def truncated_svd(
+    M,
+    delta: Optional[float] = None,
+    eps: Optional[float] = None,
+    rmax: Optional[int] = None,
+    left_ortho: bool = True,
+    algorithm: str = "svd",
+    verbose: bool = False,
+    batch: bool = False,
+):
+    """Factor M (m x n, or B x m x n when batch) into U (m x r) @ V (r x n)
+    with error-budgeted rank choice (reference round.py:52-187).
+
+    - delta: absolute error norm budget; eps: relative budget (exclusive).
+    - algorithm 'svd' uses a singular value decomposition; 'eig' forms the
+      Gram matrix of the short side and eigen-decomposes it (faster, less
+      accurate; negative eigenvalues clamped to 1e-8 as in the reference).
+    - batch keeps a fixed rank = min(rmax, full) — shapes must agree across
+      the batch.
+    """
+    if delta is not None and eps is not None:
+        raise ValueError("Provide either `delta` or `eps`")
+    if delta is None and eps is not None:
+        delta = eps * float(jnp.linalg.norm(M.reshape(-1)))
+    if delta is None:
+        delta = 0.0
+    if rmax is None:
+        rmax = np.iinfo(np.int32).max
+    rmax = int(rmax)
+    assert rmax >= 1
+    assert algorithm in ("svd", "eig")
+
+    if algorithm == "svd":
+        U, S, _ = jnp.linalg.svd(M, full_matrices=False)
+        svd0, svd1 = U, S
+        singular_vectors = "left"
+    else:
+        if M.shape[-2] <= M.shape[-1]:
+            gram = M @ jnp.swapaxes(M, -1, -2)
+            singular_vectors = "left"
+        else:
+            gram = jnp.swapaxes(M, -1, -2) @ M
+            singular_vectors = "right"
+        w, v = jnp.linalg.eigh(gram)
+        w = jnp.where(w < 0, jnp.zeros_like(w) + 1e-8, w)
+        w = jnp.sqrt(w)
+        svd0 = v[..., ::-1]  # descending eigenvalue order
+        svd1 = w[..., ::-1]
+
+    S_host = np.asarray(svd1)
+
+    # Zero matrix -> rank-1 zero factors (reference round.py:137-145)
+    if batch:
+        if S_host.max() < 1e-13:
+            return (
+                jnp.zeros((M.shape[0], M.shape[1], 1), dtype=M.dtype),
+                jnp.zeros((M.shape[0], 1, M.shape[2]), dtype=M.dtype),
+            )
+    else:
+        if S_host[0] < 1e-13:
+            return (
+                jnp.zeros((M.shape[0], 1), dtype=M.dtype),
+                jnp.zeros((1, M.shape[1]), dtype=M.dtype),
+            )
+
+    if batch:
+        rank = max(1, min(rmax, S_host.shape[-1]))
+    else:
+        # Largest discardable tail: sum of smallest sigma^2 <= delta^2
+        S2 = S_host.astype(np.float64) ** 2
+        tail = np.cumsum(S2[::-1])
+        where = np.where(tail <= delta**2)[0]
+        if len(where) == 0:
+            rank = max(1, min(rmax, len(S2)))
+        else:
+            rank = max(1, min(rmax, len(S2) - 1 - int(where[-1])))
+
+    left = svd0[..., :rank]
+    sr = svd1[..., :rank]
+
+    if singular_vectors == "left":
+        if left_ortho:
+            M2 = jnp.swapaxes(left, -1, -2).conj() @ M
+        else:
+            M2 = (1.0 / sr)[..., None] * (jnp.swapaxes(left, -1, -2).conj() @ M)
+            left = left * sr[..., None, :]
+    else:
+        if left_ortho:
+            M2 = M @ (left * (1.0 / sr)[..., None, :])
+            left, M2 = M2, jnp.swapaxes(left * sr[..., None, :], -1, -2)
+        else:
+            M2 = M @ left
+            left, M2 = M2, jnp.swapaxes(left, -1, -2)
+
+    return left, M2

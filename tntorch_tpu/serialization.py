@@ -1,0 +1,55 @@
+"""Save/load compressed tensors — a capability gap in the reference
+(its TODO.md:3 lists "Save/load tensors" as unimplemented).
+
+Format: a single .npz archive holding every core/factor plus metadata
+(batch flag, Us mask, idxs). Pure NumPy container — portable, no pickle of
+code objects, loadable without JAX present.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+
+
+def save(t, path):
+    """Serialize a tn.Tensor (cores, Tucker factors, idxs, batch flag) to .npz."""
+    arrays = {}
+    meta = {
+        "n_cores": t.dim(),
+        "batch": bool(t.batch),
+        "us_mask": [U is not None for U in t.Us],
+        "version": 1,
+    }
+    for n, c in enumerate(t.cores):
+        arrays[f"core_{n}"] = np.asarray(c)
+    for n, U in enumerate(t.Us):
+        if U is not None:
+            arrays[f"U_{n}"] = np.asarray(U)
+    for n, idx in enumerate(getattr(t, "idxs", []) or []):
+        if idx is not None:
+            arrays[f"idx_{n}"] = np.asarray(idx)
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load(path):
+    """Load a tn.Tensor previously stored with `save`."""
+    data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    meta = json.loads(bytes(data["meta"]).decode())
+    N = meta["n_cores"]
+    cores = [jnp.asarray(data[f"core_{n}"]) for n in range(N)]
+    Us = [
+        jnp.asarray(data[f"U_{n}"]) if meta["us_mask"][n] else None for n in range(N)
+    ]
+    idxs = []
+    for n in range(N + (1 if meta["batch"] else 0)):
+        key = f"idx_{n}"
+        idxs.append(np.asarray(data[key]) if key in data else None)
+    if not any(i is not None for i in idxs):
+        idxs = None
+    return tn.Tensor(cores, Us=Us, idxs=idxs, batch=meta["batch"])

@@ -1,0 +1,1296 @@
+"""Core tensor-network container for the TPU-native tntorch rebuild.
+
+Design (TPU-first, not a translation):
+
+- `Tensor` is a registered JAX pytree: leaves are the TT/CP cores and the
+  optional Tucker factors, so every tensor flows through `jit`/`vmap`/`grad`.
+- Batch mode is *not* a forest of `if self.batch:` branches like the reference
+  (cf. /root/reference/tntorch/tensor.py passim): JAX linalg (qr/svd/eigh) and
+  einsum broadcast over leading batch dims natively, so one code path serves
+  both layouts. Where the reference writes paired einsum strings
+  ('ijk,aj->iak' / 'bijk,baj->biak') we write a single ellipsis contraction.
+- All "in-place" methods rebind `self.cores[...]` to fresh immutable arrays;
+  functional wrappers live in `round.py`.
+
+Semantics match rballester/tntorch `tensor.py` (behavioral reference cited
+per-method by file:line) at <=1e-6 relative error, with its latent defects
+fixed (e.g. `__pow__`, tensor.py:789-795 references an undefined name).
+
+Core kinds (reference tensor.py:107-117): an N-dim tensor holds N cores,
+each being a TT core (R_{n-1} x I_n x R_n), a CP factor (I_n x R), or either
+of those with a Tucker factor U_n (I_n x S_n) attached. `batch=True` adds a
+leading batch axis B to every core/factor.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from tntorch_tpu.utils import asarray, default_dtype, is_scalar, to_numpy
+
+
+def _full_rank_tt(data: jax.Array) -> list:
+    """Exact (uncompressed) TT representation of a dense tensor.
+
+    Ranks are full: R_k = min(prod_{i<=k} I_i, prod_{i>k} I_i). Identity
+    cores are placed on the short side and the data on the long side
+    (behavioral reference: tensor.py:10-104).
+    """
+    shape = data.shape
+    dtype = data.dtype
+    N = data.ndim
+    result = []
+    resh = data.reshape(shape[0], -1)
+    for n in range(1, N):
+        L, R = resh.shape
+        if L < R:
+            result.append(jnp.eye(L, dtype=dtype).reshape(L // shape[n - 1], shape[n - 1], L))
+            resh = resh.reshape(L * shape[n], R // shape[n])
+        else:
+            result.append(resh.reshape(L // shape[n - 1], shape[n - 1], R))
+            resh = jnp.eye(R, dtype=dtype).reshape(R * shape[n], R // shape[n])
+    result.append(resh.reshape(resh.shape[0] // shape[N - 1], shape[N - 1], 1))
+    return result
+
+
+def _full_rank_tt_batch(data: jax.Array) -> list:
+    """Batched variant: vmap the exact TT construction over the leading axis."""
+    return jax.vmap(_full_rank_tt)(data)
+
+
+def _core_kron(a: jax.Array, b: jax.Array, batch: bool = False) -> jax.Array:
+    """Slice-wise Kronecker product of two TT cores (reference tensor.py:2309-2319)."""
+    if batch:
+        c = a[:, :, None, :, :, None] * b[:, None, :, :, None, :]
+        return c.reshape(a.shape[0], a.shape[1] * b.shape[1], -1, a.shape[-1] * b.shape[-1])
+    c = a[:, None, :, :, None] * b[None, :, :, None, :]
+    return c.reshape(a.shape[0] * b.shape[0], -1, a.shape[-1] * b.shape[-1])
+
+
+def _broadcast(a: "Tensor", b: "Tensor"):
+    """Repeat-based shape broadcasting for binary ops (reference tensor.py:2290-2306)."""
+    if tuple(a.shape) == tuple(b.shape):
+        return a, b
+    if a.dim() != b.dim():
+        raise ValueError(
+            "Cannot broadcast: lhs has {} dimensions, rhs has {}".format(a.dim(), b.dim())
+        )
+    r1 = a.repeat(*[int(round(max(s2 / s1, 1))) for s1, s2 in zip(a.shape, b.shape)])
+    r2 = b.repeat(*[int(round(max(s1 / s2, 1))) for s1, s2 in zip(a.shape, b.shape)])
+    return r1, r2
+
+
+class Tensor:
+    """Unified TT / CP / Tucker / hybrid tensor-network container (JAX pytree)."""
+
+    def __init__(
+        self,
+        data: Any,
+        Us: Optional[Sequence] = None,
+        idxs: Optional[Sequence] = None,
+        device: Optional[Any] = None,
+        requires_grad: Optional[bool] = None,
+        ranks_cp: Optional[int] = None,
+        ranks_tucker: Optional[Union[int, Sequence[int]]] = None,
+        ranks_tt: Optional[Union[int, Sequence[int]]] = None,
+        eps: Optional[float] = None,
+        max_iter: int = 25,
+        tol: float = 1e-4,
+        verbose: bool = False,
+        batch: bool = False,
+        algorithm: str = "svd",
+        dtype: Optional[Any] = None,
+    ):
+        """Build from a list of cores, or decompose a dense array.
+
+        Mirrors reference tensor.py:119-439: `ranks_tt`/`ranks_tucker` trigger
+        TT-SVD / HOSVD-style rounding of the exact TT; `ranks_cp` runs CP-ALS;
+        `eps` runs error-bounded TT+Tucker rounding.
+        """
+        self.batch = bool(batch)
+        self.requires_grad = bool(requires_grad) if requires_grad is not None else False
+
+        if isinstance(data, (list, tuple)):
+            mn = 3 if batch else 2  # CP core ndim
+            mx = mn + 1  # TT core ndim
+            data = [asarray(d) for d in data]
+            if not all(mn <= d.ndim <= mx for d in data):
+                raise ValueError(
+                    "All tensor cores must have 2 (for CP) or 3 (for TT) dimensions"
+                )
+            d1, d2 = (1, 2) if batch else (0, 1)
+            for n in range(len(data) - 1):
+                if (
+                    data[n + 1].ndim == mx and data[n].shape[-1] != data[n + 1].shape[d1]
+                ) or (
+                    data[n + 1].ndim == mn and data[n].shape[-1] != data[n + 1].shape[d2]
+                ):
+                    raise ValueError("Core ranks do not match")
+            self.cores = list(data)
+            N = len(data)
+        else:
+            data = asarray(data, dtype=dtype)
+            if device is not None:
+                data = jax.device_put(data, device)
+            if data.ndim == 0:
+                data = data[None]
+            N = data.ndim - (1 if batch else 0)
+
+        if Us is None:
+            Us = [None] * (N if isinstance(data, jax.Array) else len(self.cores))
+        self.Us = [None if U is None else asarray(U) for U in Us]
+
+        if isinstance(data, jax.Array):
+            if ranks_cp is not None:
+                if ranks_tt is not None:
+                    raise ValueError("ALS for CP-TT is not yet supported")
+                assert not hasattr(ranks_cp, "__len__")
+                self._init_cp_als(
+                    data, ranks_cp, ranks_tucker, max_iter, tol, verbose, algorithm
+                )
+            else:
+                self.cores = (
+                    _full_rank_tt_batch(data) if batch else _full_rank_tt(data)
+                )
+                self.Us = [None] * self.dim()
+                if ranks_tucker is not None:
+                    self.round_tucker(rmax=ranks_tucker, algorithm=algorithm)
+                if ranks_tt is not None:
+                    self.round_tt(rmax=ranks_tt, algorithm=algorithm)
+
+        # Validate Tucker factor shapes (reference tensor.py:410-424)
+        fd = 3 if batch else 2
+        for n in range(self.dim()):
+            if self.Us[n] is None:
+                continue
+            assert self.Us[n].ndim == fd
+            assert self.cores[n].shape[-2] == self.Us[n].shape[-1]
+
+        if idxs is None:
+            idxs = [np.arange(sh) for sh in self.shape[1 if batch else 0:]]
+            if batch:
+                idxs = [np.arange(self.shape[0])] + idxs
+        self.idxs = [to_numpy(i) if i is not None else None for i in idxs]
+
+        if eps is not None:
+            if ranks_cp is not None or ranks_tucker is not None or ranks_tt is not None:
+                raise ValueError("Specify eps or ranks, but not both")
+            self.round(eps, algorithm=algorithm)
+
+    # ------------------------------------------------------------------
+    # CP-ALS decomposition of a dense tensor (reference tensor.py:210-400)
+    # ------------------------------------------------------------------
+    def _init_cp_als(self, data, ranks_cp, ranks_tucker, max_iter, tol, verbose, algorithm):
+        batch = self.batch
+        bdims = 1 if batch else 0
+        N = data.ndim - bdims
+        dtype = data.dtype
+
+        if ranks_tucker is None:
+            # HOSVD init: leading eigenvectors of each mode's Gram matrix
+            self.cores = []
+            for n in range(N):
+                unf = tn.unfolding(data, n, batch)
+                gram = unf @ jnp.swapaxes(unf, -1, -2)
+                _, eigvecs = jnp.linalg.eigh(gram)
+                core = eigvecs[..., ::-1][..., :ranks_cp]  # descending eigenvalue order
+                if core.shape[-1] < ranks_cp:
+                    pad = jax.random.normal(
+                        tn.utils.next_key(),
+                        core.shape[:-1] + (ranks_cp - core.shape[-1],),
+                        dtype=dtype,
+                    )
+                    core = jnp.concatenate([core, pad], axis=-1)
+                self.cores.append(core)
+        else:
+            # CP on the Tucker core (reference tensor.py:278-302)
+            self.cores = _full_rank_tt_batch(data) if batch else _full_rank_tt(data)
+            self.Us = [None] * N
+            self.round_tucker(rmax=ranks_tucker, algorithm=algorithm)
+            data = self.tucker_core()
+            shp = data.shape[bdims:]
+            self.cores = [
+                jax.random.normal(
+                    tn.utils.next_key(),
+                    ((data.shape[0],) if batch else ()) + (sh, ranks_cp),
+                    dtype=dtype,
+                )
+                for sh in shp
+            ]
+
+        if batch:
+            data_norm = jnp.sqrt(jnp.sum(data**2, axis=tuple(range(1, data.ndim))))
+        else:
+            data_norm = jnp.linalg.norm(data.reshape(-1))
+
+        grams = [None] + [
+            jnp.swapaxes(self.cores[n], -1, -2) @ self.cores[n] for n in range(1, N)
+        ]
+        kh_idx = "...ir,...jr->...ijr"
+        errors = []
+        for it in range(max_iter):
+            for n in range(N):
+                bshape = (data.shape[0],) if batch else ()
+                khatri = jnp.ones(bshape + (1, ranks_cp), dtype=dtype)
+                prod = jnp.ones(bshape + (ranks_cp, ranks_cp), dtype=dtype)
+                for m in range(N - 1, -1, -1):
+                    if m != n:
+                        prod = prod * grams[m]
+                        khatri = jnp.einsum(kh_idx, self.cores[m], khatri).reshape(
+                            bshape + (-1, ranks_cp)
+                        )
+                unf = tn.unfolding(data, n, batch)
+                rhs = jnp.swapaxes(unf @ khatri, -1, -2)
+                # Least-squares via pinv (batched; TPU has no LAPACK gelsd)
+                sol = jnp.linalg.pinv(prod) @ rhs
+                self.cores[n] = jnp.swapaxes(sol, -1, -2)
+                grams[n] = jnp.swapaxes(self.cores[n], -1, -2) @ self.cores[n]
+
+            approx = Tensor(list(self.cores), batch=batch).full()
+            err = data - approx
+            if batch:
+                rel = jnp.mean(
+                    jnp.sqrt(jnp.sum(err**2, axis=tuple(range(1, err.ndim)))) / data_norm
+                )
+            else:
+                rel = jnp.linalg.norm(err.reshape(-1)) / data_norm
+            errors.append(float(rel))
+            if verbose:
+                print(f"iter: {it} | eps: {errors[-1]:.8f}")
+            if len(errors) >= 2 and errors[-2] - errors[-1] < tol:
+                break
+
+    # ------------------------------------------------------------------
+    # Arithmetic (reference tensor.py:445-830)
+    # ------------------------------------------------------------------
+    @property
+    def _m(self) -> int:
+        """ndim of a CP factor in this tensor's layout."""
+        return 3 if self.batch else 2
+
+    def _is_tt(self, core) -> bool:
+        return core.ndim == self._m + 1
+
+    def __add__(self, other):
+        if not isinstance(other, Tensor):  # scalar
+            factor = other
+            dtype = self.cores[0].dtype
+            if self.batch:
+                cores = [
+                    jnp.ones((self.shape[0], 1, self.shape[n + 1], 1), dtype=dtype)
+                    for n in range(self.dim())
+                ]
+            else:
+                cores = [
+                    jnp.ones((1, self.shape[n], 1), dtype=dtype)
+                    for n in range(self.dim())
+                ]
+            cores[0] = cores[0] * factor
+            other = Tensor(cores, batch=self.batch)
+
+        if self.batch != other.batch:
+            raise ValueError("Tensors with the same batch mode are supported")
+        if self.batch and self.shape[0] != other.shape[0]:
+            raise ValueError(
+                f"Batch dim must match, got {self.shape[0]} and {other.shape[0]}"
+            )
+
+        if self.dim() == 1:  # special case (reference tensor.py:479-485)
+            return Tensor(
+                [
+                    self.decompress_tucker_factors().cores[0]
+                    + other.decompress_tucker_factors().cores[0]
+                ],
+                batch=self.batch,
+            )
+
+        m = self._m
+        d = 1 if self.batch else 0  # left-rank axis of a TT core
+        this, other = _broadcast(self, other)
+
+        cores, Us = [], []
+        for n in range(this.dim()):
+            core1, core2 = this.cores[n], other.cores[n]
+            both_cp = core1.ndim == m and core2.ndim == m
+            if both_cp:  # lift CP factors to rank-1-left TT views
+                core1 = core1[:, None] if self.batch else core1[None]
+                core2 = core2[:, None] if self.batch else core2[None]
+            else:
+                core1 = self._cp_to_tt(core1)
+                core2 = self._cp_to_tt(core2)
+
+            if this.Us[n] is not None and other.Us[n] is not None:
+                # Block-diagonal core over both rank axes AND the Tucker axis
+                b = core1.shape[:1] if self.batch else ()
+                R1l, S1, R1r = core1.shape[-3:]
+                R2l, S2, R2r = core2.shape[-3:]
+                c = jnp.zeros(b + (R1l + R2l, S1 + S2, R1r + R2r), dtype=core1.dtype)
+                c = c.at[..., :R1l, :S1, :R1r].set(core1)
+                c = c.at[..., R1l:, S1:, R1r:].set(core2)
+                cores.append(c)
+                Us.append(jnp.concatenate((this.Us[n], other.Us[n]), axis=-1))
+                continue
+
+            if this.Us[n] is not None:
+                core1 = jnp.einsum("...ijk,...aj->...iak", core1, this.Us[n])
+            if other.Us[n] is not None:
+                core2 = jnp.einsum("...ijk,...aj->...iak", core2, other.Us[n])
+
+            # Block-diagonal over rank axes, shared spatial axis
+            b = core1.shape[:1] if self.batch else ()
+            R1l, I, R1r = core1.shape[-3:]
+            R2l, _, R2r = core2.shape[-3:]
+            c = jnp.zeros(b + (R1l + R2l, I, R1r + R2r), dtype=core1.dtype)
+            c = c.at[..., :R1l, :, :R1r].set(core1)
+            c = c.at[..., R1l:, :, R1r:].set(core2)
+            cores.append(c)
+            Us.append(None)
+
+        # Boundary rank-1 collapses (reference tensor.py:656-666)
+        if not (this.cores[0].ndim == m and other.cores[0].ndim == m):
+            cores[0] = cores[0].sum(axis=d, keepdims=True)
+        if not (this.cores[-1].ndim == m and other.cores[-1].ndim == m):
+            cores[-1] = cores[-1].sum(axis=m, keepdims=True)
+        for n in range(this.dim()):
+            if this.cores[n].ndim == m and other.cores[n].ndim == m:
+                cores[n] = cores[n].sum(axis=d)
+
+        return Tensor(cores, Us=Us, batch=self.batch)
+
+    def __radd__(self, other):
+        if other is None:
+            return self
+        return self + other
+
+    def __sub__(self, other):
+        return self + -1 * other
+
+    def __rsub__(self, other):
+        return -1 * self + other
+
+    def __neg__(self):
+        return -1 * self
+
+    def __mul__(self, other):
+        if not isinstance(other, Tensor):  # scalar: spread |c|^(1/N), sign on core 0
+            result = self.clone()
+            factor = np.abs(other) ** (1.0 / self.dim())
+            result.cores = [c * factor for c in result.cores]
+            result.cores[0] = result.cores[0] * np.sign(other)
+            return result
+
+        m = self._m
+        this, other = _broadcast(self, other)
+        cores, Us = [], []
+        for n in range(this.dim()):
+            core1, core2 = this.cores[n], other.cores[n]
+            both_cp = core1.ndim == m and core2.ndim == m
+            if both_cp:
+                core1 = core1[:, None] if self.batch else core1[None]
+                core2 = core2[:, None] if self.batch else core2[None]
+            else:
+                core1 = this._cp_to_tt(core1)
+                core2 = this._cp_to_tt(core2)
+
+            d1 = this.cores[n].shape[-2] * other.cores[n].shape[-2]
+            spatial = this.shape[n + 1] if self.batch else this.shape[n]
+            if this.Us[n] is not None and other.Us[n] is not None and d1 < spatial:
+                # Keep Tucker structure: kron the cores and the factors
+                b = core1.shape[:1] if self.batch else ()
+                c = jnp.einsum("...ijk,...abc->...iajbkc", core1, core2)
+                cores.append(
+                    c.reshape(
+                        b
+                        + (
+                            core1.shape[-3] * core2.shape[-3],
+                            core1.shape[-2] * core2.shape[-2],
+                            core1.shape[-1] * core2.shape[-1],
+                        )
+                    )
+                )
+                U = jnp.einsum("...ij,...ik->...ijk", this.Us[n], other.Us[n])
+                Us.append(U.reshape(U.shape[:-2] + (-1,)))
+            else:
+                if this.Us[n] is not None:
+                    core1 = jnp.einsum("...ijk,...aj->...iak", core1, this.Us[n])
+                if other.Us[n] is not None:
+                    core2 = jnp.einsum("...ijk,...aj->...iak", core2, other.Us[n])
+                cores.append(_core_kron(core1, core2, self.batch))
+                Us.append(None)
+
+            if both_cp:
+                cores[-1] = cores[-1][:, 0] if self.batch else cores[-1][0]
+        return Tensor(cores, Us=Us, batch=self.batch)
+
+    def __rmul__(self, other):
+        return self * other
+
+    def __truediv__(self, other):
+        # Reference behavior (the surviving definition, tensor.py:801-803):
+        # t / x == t * (1/x); for tensor x the reciprocal is cross-approximated.
+        if isinstance(other, Tensor):
+            return self * tn.reciprocal(other)
+        return self * (1.0 / other)
+
+    def __rtruediv__(self, other):
+        return other * tn.reciprocal(self)
+
+    def __pow__(self, other):
+        # Fixed vs reference tensor.py:789-795 (NameError on `power`).
+        if isinstance(other, Tensor):
+            return tn.cross(function=lambda x, y: x**y, tensors=[self, other], verbose=False)
+        return tn.cross(function=lambda x: x**other, tensors=[self], verbose=False)
+
+    # Boolean algebra on {0,1} tensors (reference tensor.py:809-830)
+    def __invert__(self):
+        return 1 - self
+
+    def __and__(self, other):
+        return self * other
+
+    def __or__(self, other):
+        return self + other - self * other
+
+    def __xor__(self, other):
+        return self + other - 2 * self * other
+
+    def __eq__(self, other):
+        return bool(tn.dist(self, other) <= 1e-14)
+
+    def __ne__(self, other):
+        return not self == other
+
+    __hash__ = None  # mutable container
+
+    # ------------------------------------------------------------------
+    # Shapes and ranks (reference tensor.py:836-919)
+    # ------------------------------------------------------------------
+    @property
+    def shape(self):
+        shape = []
+        if self.batch:
+            shape.append(self.cores[0].shape[0])
+        for n in range(self.dim()):
+            if self.Us[n] is None:
+                shape.append(self.cores[n].shape[-2])
+            else:
+                shape.append(self.Us[n].shape[-2])
+        return tuple(shape)
+
+    def b(self):
+        if not self.batch:
+            raise ValueError
+        return self.cores[0].shape[0]
+
+    @property
+    def ranks_tt(self):
+        if self.cores[0].ndim == self._m:  # CP factor: rank = its last axis
+            first = self.cores[0].shape[-1]
+        else:  # TT core: left rank
+            first = self.cores[0].shape[1 if self.batch else 0]
+        return np.array([first] + [c.shape[-1] for c in self.cores])
+
+    @ranks_tt.setter
+    def ranks_tt(self, value):
+        self.round_tt(rmax=value)
+
+    @property
+    def ranks_tucker(self):
+        return np.array([c.shape[-2] for c in self.cores])
+
+    @ranks_tucker.setter
+    def ranks_tucker(self, value):
+        self.round_tucker(rmax=value)
+
+    def dim(self):
+        return len(self.cores)
+
+    def size(self):
+        return self.shape
+
+    def __repr__(self):
+        # ASCII tensor-network diagram (reference tensor.py:921-1013)
+        fmt = []
+        if any(self._is_tt(c) for c in self.cores):
+            fmt.append("TT")
+        if any(c.ndim == self._m for c in self.cores):
+            fmt.append("CP")
+        if any(U is not None for U in self.Us):
+            fmt.append("Tucker")
+        s = "{}D {} tensor:\n\n".format(self.dim(), "-".join(fmt))
+        ttr = self.ranks_tt
+        tuckerr = self.ranks_tucker
+        if self.batch:
+            s += "with batch = {}\n".format(self.cores[0].shape[0])
+
+        shape = self.shape[1 if self.batch else 0:]
+        if any(U is not None for U in self.Us):
+            row = [" "] * (4 * self.dim() - 1)
+            for n in range(self.dim()):
+                if self.Us[n] is None:
+                    continue
+                t = str(shape[n])
+                p = n * 4 - len(t) // 2 + 2
+                row[p:p + len(t)] = t
+            s += "".join(row) + "\n"
+
+        row = [" "] * (4 * self.dim() - 1)
+        for n in range(self.dim()):
+            if self.Us[n] is None:
+                t = str(tuckerr[n])
+                p = n * 4 - len(t) // 2 + 2
+                row[p:p + len(t)] = t
+            else:
+                row[n * 4 + 2] = "|"
+        s += "".join(row) + "\n"
+
+        row = [" "] * (4 * self.dim() - 1)
+        for n in range(self.dim()):
+            if self.Us[n] is None:
+                row[n * 4 + 2] = "|"
+            else:
+                t = str(tuckerr[n])
+                p = n * 4 - len(t) // 2 + 2
+                row[p:p + len(t)] = t
+        s += "".join(row) + "\n"
+
+        row = [" "] * (4 * self.dim() - 1)
+        for n in range(self.dim()):
+            node = "<{}>".format(n) if self.cores[n].ndim == self._m else "({})".format(n)
+            p = (n + 1) * 4 - (len(node) - 1) // 2
+            row[p:p + len(node)] = node
+        s += "".join(row[2:]) + "\n"
+        s += " / \\" * self.dim() + "\n"
+
+        row = [" "] * (4 * (self.dim() + 1))
+        for n in range(self.dim() + 1):
+            t = str(ttr[n])
+            row[n * 4:n * 4 + len(t)] = t
+        s += "".join(row) + "\n"
+        return s
+
+    # ------------------------------------------------------------------
+    # Indexing (reference tensor.py:1019-1434)
+    # ------------------------------------------------------------------
+    def _process_key(self, key):
+        if not hasattr(key, "__len__"):
+            key = (key,)
+        fancy = False
+        if isinstance(key, (jax.Array,)) or type(key).__module__.startswith("torch"):
+            key = to_numpy(key)
+        if isinstance(key, np.ndarray) and key.ndim == 1:
+            key = list(key)
+        if any(not np.isscalar(k) for k in key):
+            key = list(key)
+            fancy = True
+        if isinstance(key, tuple):
+            key = list(key)
+        elif not fancy:
+            key = [key]
+
+        nonecount = sum(1 for k in key if k is None)
+        for i in range(len(key)):
+            if key[i] is Ellipsis:
+                key = (
+                    key[:i]
+                    + [slice(None)] * (len(self.shape) - (len(key) - nonecount) + 1)
+                    + key[i + 1:]
+                )
+                break
+        if any(k is Ellipsis for k in key):
+            raise IndexError("Only one ellipsis is allowed, at most")
+        if len(self.shape) - (len(key) - nonecount) < 0:
+            raise IndexError(
+                "Too many index entries {} vs {}".format(
+                    len(self.shape), len(key) - nonecount
+                )
+            )
+        key = key + [slice(None)] * (len(self.shape) - (len(key) - nonecount))
+        return key
+
+    def __getitem__(self, key):
+        """NumPy-style indexing over compressed cores; 5 accessor kinds:
+        slice / int / index-array / None / mask-Tensor (reference tensor.py:1056-1434).
+        """
+        if isinstance(key, Tensor):
+            if abs(float(tn.sum(key)) - 1) > 1e-8:
+                raise ValueError(
+                    "When indexing via a mask tensor, that mask should have exactly 1 accepting string"
+                )
+            s = to_numpy(tn.accepted_inputs(key)[0])
+            slicing = []
+            for n in range(len(self.shape)):
+                idx = np.asarray(self.idxs[n]).astype(np.int64).copy()
+                idx[idx > 1] = 1
+                w = np.where(idx == s[n])[0]
+                sl = slice(int(w[0]), int(w[-1]) + 1)
+                if len(w) == 1:
+                    sl = int(w[0])
+                slicing.append(sl)
+            return self[tuple(slicing)]
+
+        if isinstance(key, (jax.Array, np.ndarray)) and np.ndim(key) == 2:
+            key = to_numpy(key)
+            key = [key[:, col] for col in range(key.shape[1])]
+        elif type(key).__module__.startswith("torch") and key.ndim == 2:
+            key = to_numpy(key)
+            key = [key[:, col] for col in range(key.shape[1])]
+
+        key = self._process_key(key)
+        batch = self.batch
+        B = "b" if batch else ""  # einsum prefix for the batch axis
+
+        if batch:
+            batch_dim_processed = False
+            batch_dim_idx: Any = slice(None)
+
+        def nd(x):
+            """ndim not counting the batch axis (post batch-slicing with int keeps axis)."""
+            return x.ndim - (1 if batch else 0)
+
+        last_mode = None
+        factors = {"int": None, "index": None, "index_done": False}
+        cores: list = []
+        Us: list = []
+        counter = 0
+        first_index_dim = None
+
+        def bsel(x):
+            """Apply the pending batch index, keeping a leading batch axis."""
+            if not batch:
+                return x
+            y = x[batch_dim_idx]
+            if isinstance(batch_dim_idx, (int, np.integer)):
+                y = y[None]
+            return y
+
+        def join_cores(c1, c2):
+            n1, n2 = nd(c1), nd(c2)
+            if n1 == 1 and n2 == 2:
+                return jnp.einsum(f"{B}i,{B}ai->{B}ai", c1, c2)
+            if n1 == 2 and n2 == 2:
+                return jnp.einsum(f"{B}ij,{B}aj->{B}iaj", c1, c2)
+            if n1 == 1 and n2 == 3:
+                return jnp.einsum(f"{B}i,{B}iaj->{B}iaj", c1, c2)
+            if n1 == 2 and n2 == 3:
+                return jnp.einsum(f"{B}ij,{B}jak->{B}iak", c1, c2)
+            raise ValueError
+
+        def insert_core(core=None, key=None, U=None):
+            if factors["index"] is not None:
+                if factors["int"] is not None:
+                    factors["index"] = join_cores(factors["int"], factors["index"])
+                    factors["int"] = None
+                cores.append(factors["index"])
+                Us.append(None)
+                factors["index"] = None
+                factors["index_done"] = True
+            if core is not None:
+                if U is None:
+                    nCore = bsel(core[..., key, :])
+                    nU = None
+                else:
+                    nU = bsel(U[..., key, :])
+                    nCore = bsel(core)
+                if factors["int"] is not None:
+                    cores.append(join_cores(factors["int"], nCore))
+                    factors["int"] = None
+                else:
+                    cores.append(nCore)
+                Us.append(nU)
+
+        def get_key(cnt, k):
+            """Slice mode `cnt` at `k` (int or array), absorbing the Tucker factor."""
+            if self.Us[cnt] is None:
+                return bsel(self.cores[cnt][..., k, :])
+            sl = bsel(self.Us[cnt][..., k, :])
+            core = bsel(self.cores[cnt])
+            if nd(sl) == 1:  # k was an int
+                if nd(core) == 3:
+                    return jnp.einsum(f"{B}ijk,{B}j->{B}ik", core, sl)
+                return jnp.einsum(f"{B}ji,{B}j->{B}i", core, sl)
+            if nd(core) == 3:
+                return jnp.einsum(f"{B}ijk,{B}aj->{B}iak", core, sl)
+            return jnp.einsum(f"{B}ji,{B}aj->{B}ai", core, sl)
+
+        for i in range(len(key)):
+            if hasattr(key[i], "__len__"):
+                this_mode = "index"
+            elif key[i] is None:
+                this_mode = "none"
+            elif isinstance(key[i], (int, np.integer)):
+                this_mode = "int"
+            elif isinstance(key[i], slice):
+                this_mode = "slice"
+            else:
+                raise IndexError
+
+            if this_mode == "none":
+                if batch:
+                    if not batch_dim_processed:
+                        raise ValueError("Cannot change batch dimension")
+                    r = int(self.ranks_tt[counter - 1])
+                    eye = jnp.tile(jnp.eye(r)[None], (self.shape[0], 1, 1))
+                    insert_core(eye[:, :, None, :], key=slice(None), U=None)
+                else:
+                    r = int(self.ranks_tt[counter])
+                    insert_core(jnp.eye(r)[:, None, :], key=slice(None), U=None)
+            elif this_mode == "slice":
+                if batch and not batch_dim_processed:
+                    batch_dim_processed = True
+                    batch_dim_idx = key[i]
+                else:
+                    c = counter - 1 if batch else counter
+                    insert_core(self.cores[c], key=key[i], U=self.Us[c])
+                counter += 1
+            elif this_mode == "index":
+                k = np.asarray(key[i])
+                if batch and first_index_dim == 0:
+                    raise ValueError("Advanced indexing is prohibited for batch dimension")
+                if factors["index_done"]:
+                    raise IndexError("All index arrays must appear contiguously")
+                if factors["index"] is None:
+                    if batch:
+                        if first_index_dim is None:
+                            first_index_dim = i
+                        if batch_dim_processed:
+                            factors["index"] = get_key(counter - 1, k)
+                        else:
+                            batch_dim_processed = True
+                            batch_dim_idx = k
+                    else:
+                        factors["index"] = get_key(counter, k)
+                else:
+                    if factors["index"].shape[-2] != len(k):
+                        raise ValueError("Index arrays must have the same length")
+                    a1 = factors["index"]
+                    a2 = get_key(counter - 1 if batch else counter, k)
+                    n1, n2 = nd(a1), nd(a2)
+                    if n1 == 2 and n2 == 2:
+                        factors["index"] = jnp.einsum(f"{B}ai,{B}ai->{B}ai", a1, a2)
+                    elif n1 == 2 and n2 == 3:
+                        factors["index"] = jnp.einsum(f"{B}ai,{B}iaj->{B}iaj", a1, a2)
+                    elif n1 == 3 and n2 == 2:
+                        factors["index"] = jnp.einsum(f"{B}iaj,{B}aj->{B}iaj", a1, a2)
+                    elif n1 == 3 and n2 == 3:
+                        factors["index"] = jnp.einsum(f"{B}iaj,{B}jak->{B}iak", a1, a2)
+                counter += 1
+            elif this_mode == "int":
+                if batch and not batch_dim_processed:
+                    batch_dim_processed = True
+                    batch_dim_idx = key[i]
+                else:
+                    if last_mode == "index":
+                        insert_core()
+                    c2v = get_key(counter - 1 if batch else counter, int(key[i]))
+                    if factors["int"] is None:
+                        factors["int"] = c2v
+                    else:
+                        c1 = factors["int"]
+                        n1, n2 = nd(c1), nd(c2v)
+                        if n1 == 1 and n2 == 1:
+                            factors["int"] = jnp.einsum(f"{B}i,{B}i->{B}i", c1, c2v)
+                        elif n1 == 1 and n2 == 2:
+                            factors["int"] = jnp.einsum(f"{B}i,{B}ij->{B}ij", c1, c2v)
+                        elif n1 == 2 and n2 == 1:
+                            factors["int"] = jnp.einsum(f"{B}ij,{B}j->{B}ij", c1, c2v)
+                        elif n1 == 2 and n2 == 2:
+                            factors["int"] = jnp.einsum(f"{B}ij,{B}jk->{B}ik", c1, c2v)
+                counter += 1
+            last_mode = this_mode
+
+        # Pending factors at the end
+        if last_mode == "index":
+            insert_core()
+        elif last_mode == "int" and factors["int"] is not None:
+            if len(cores) > 0:
+                last = cores[-1]
+                if batch:
+                    last = bsel(last) if last.shape[0] != factors["int"].shape[0] else last
+                n1, n2 = nd(last), nd(factors["int"])
+                if n1 == 2 and n2 == 1:
+                    cores[-1] = jnp.einsum(f"{B}ai,{B}i->{B}ai", last, factors["int"])
+                elif n1 == 2 and n2 == 2:
+                    cores[-1] = jnp.einsum(f"{B}ai,{B}ij->{B}iaj", last, factors["int"])
+                elif n1 == 3 and n2 == 1:
+                    cores[-1] = jnp.einsum(f"{B}iaj,{B}j->{B}ai", last, factors["int"])
+                elif n1 == 3 and n2 == 2:
+                    cores[-1] = jnp.einsum(f"{B}iaj,{B}jk->{B}iak", last, factors["int"])
+            else:  # scalar result
+                f = factors["int"]
+                if not batch and f.size > 1:
+                    return jnp.sum(f)
+                return jnp.squeeze(f)
+
+        if batch and isinstance(batch_dim_idx, (int, np.integer)):
+            nUs = [None if U is None else U[0] for U in Us]
+            return Tensor([c[0] for c in cores], Us=nUs, batch=False)
+        return Tensor(cores, Us=Us, batch=self.batch)
+
+    def __setitem__(self, key, value):
+        """Algebraic assignment: self <- self - old_slice + new (reference tensor.py:1436-1563)."""
+        key = self._process_key(key)
+        scalar = False
+        if isinstance(value, np.ndarray) or type(value).__module__.startswith("torch") or isinstance(value, jax.Array):
+            value = asarray(value)
+            if value.ndim == 0:
+                value = float(value)
+                scalar = True
+            else:
+                if self.batch:
+                    if isinstance(key[0], int):
+                        value = value[None]
+                    if value.ndim == 1:
+                        value = value[:, None]
+                value = Tensor(value, batch=self.batch)
+        elif isinstance(value, Tensor):
+            pass
+        else:
+            scalar = True
+
+        subtract_cores = []
+        add_cores = []
+        key_length = len(key) - (1 if self.batch else 0)
+        dtype = self.cores[0].dtype
+
+        for i in range(key_length):
+            ki = i + 1 if self.batch else i
+            if not isinstance(key[ki], slice) and not hasattr(key[ki], "__len__"):
+                key[ki] = slice(int(key[ki]), int(key[ki]) + 1)
+
+            if self.batch:
+                chunk = self.cores[i][key[0], ..., key[i + 1], :]
+                subtract_core = jnp.zeros_like(self.cores[i]).at[key[0], ..., key[i + 1], :].add(chunk)
+                sh = chunk.shape[2]
+                k = i + 1
+            else:
+                chunk = self.cores[i][..., key[i], :]
+                subtract_core = jnp.zeros_like(self.cores[i]).at[..., key[i], :].add(chunk)
+                sh = chunk.shape[1]
+                k = i
+            subtract_cores.append(subtract_core)
+
+            if scalar:
+                if self.batch:
+                    if self.cores[i].ndim == 4:
+                        add_core = jnp.zeros((self.shape[0], 1, self.shape[i + 1], 1), dtype=dtype)
+                    else:
+                        add_core = jnp.zeros((self.shape[0], self.shape[i + 1], 1), dtype=dtype)
+                    add_core = add_core.at[key[0], ..., key[i + 1], :].add(1)
+                else:
+                    if self.cores[i].ndim == 3:
+                        add_core = jnp.zeros((1, self.shape[i], 1), dtype=dtype)
+                    else:
+                        add_core = jnp.zeros((self.shape[i], 1), dtype=dtype)
+                    add_core = add_core.at[..., key[i], :].add(1)
+                if i == 0:
+                    add_core = add_core * value
+            else:
+                if len(value.shape) != len(key):
+                    if k == len(value.shape) - 1:
+                        value = tn.unsqueeze(value, value.dim())
+                    else:
+                        if sh == 1:
+                            if value.shape[k] == sh:
+                                value = tn.unsqueeze(value, value.dim())
+                            else:
+                                cur = list(value.shape)
+                                new_shape = cur[:k] + [1] + cur[k:]
+                                value = Tensor(
+                                    value.full().reshape(new_shape), batch=self.batch
+                                )
+                if self.batch:
+                    if self.cores[i].ndim == 4:
+                        add_core = jnp.zeros(
+                            (self.cores[i].shape[0], value.cores[i].shape[1],
+                             self.shape[i + 1], value.cores[i].shape[3]),
+                            dtype=dtype,
+                        )
+                    else:
+                        add_core = jnp.zeros(
+                            (self.cores[i].shape[0], self.shape[i + 1], value.cores[i].shape[2]),
+                            dtype=dtype,
+                        )
+                    vc = value.cores[i]
+                    if isinstance(key[i + 1], int):
+                        vc = vc[..., 0, :]
+                    add_core = add_core.at[key[0], ..., key[i + 1], :].add(vc)
+                else:
+                    if chunk.shape[1] != value.shape[i]:
+                        raise ValueError(
+                            "{}-th dimension mismatch in tensor assignment: {} (lhs) != {} (rhs)".format(
+                                i, chunk.shape[1], value.shape[i]
+                            )
+                        )
+                    if self.cores[i].ndim == 3:
+                        add_core = jnp.zeros(
+                            (value.cores[i].shape[0], self.shape[i], value.cores[i].shape[2]),
+                            dtype=dtype,
+                        )
+                    else:
+                        add_core = jnp.zeros((self.shape[i], value.cores[i].shape[1]), dtype=dtype)
+                    add_core = add_core.at[..., key[i], :].add(value.cores[i])
+            add_cores.append(add_core)
+
+        result = (
+            self
+            - Tensor(subtract_cores, batch=self.batch)
+            + Tensor(add_cores, batch=self.batch)
+        )
+        self.__init__(result.cores, result.Us, self.idxs, batch=self.batch)
+
+    # ------------------------------------------------------------------
+    # Decompression (reference tensor.py:1565-1715)
+    # ------------------------------------------------------------------
+    def tucker_core(self):
+        return Tensor(list(self.cores), batch=self.batch).full()
+
+    def decompress_tucker_factors(self, dim="all", _clone: bool = True):
+        if dim == "all":
+            dim = range(self.dim())
+        if not hasattr(dim, "__len__"):
+            dim = [dim] * self.dim()
+
+        cores, Us = [], []
+        for n in range(self.dim()):
+            if n in dim and self.Us[n] is not None:
+                if self.cores[n].ndim == self._m:
+                    cores.append(jnp.einsum("...jk,...aj->...ak", self.cores[n], self.Us[n]))
+                else:
+                    cores.append(jnp.einsum("...ijk,...aj->...iak", self.cores[n], self.Us[n]))
+                Us.append(None)
+            else:
+                cores.append(self.cores[n])
+                Us.append(self.Us[n])
+        return Tensor(cores, Us, idxs=self.idxs, batch=self.batch)
+
+    def tt(self):
+        t = self.decompress_tucker_factors()
+        t._cp_to_tt()
+        return t
+
+    def full(self) -> jax.Array:
+        """Decompress to a dense jnp array (reference `torch()`, tensor.py:1639-1687)."""
+        t = self.decompress_tucker_factors(_clone=False)
+        dtype = t.cores[0].dtype
+        m = self._m
+        if self.batch:
+            bshape = (self.cores[0].shape[0],)
+        else:
+            bshape = ()
+        factor = jnp.ones(bshape + (1, int(self.ranks_tt[0])), dtype=dtype)
+        shape = list(bshape)
+        for n in range(t.dim()):
+            shape.append(t.cores[n].shape[-2])
+            if t.cores[n].ndim == m:  # CP factor
+                if n < t.dim() - 1:
+                    factor = jnp.einsum("...ai,...bi->...abi", factor, t.cores[n])
+                else:
+                    factor = jnp.einsum("...ai,...bi->...ab", factor, t.cores[n])[..., None]
+            else:  # TT core
+                factor = jnp.einsum("...ai,...ibj->...abj", factor, t.cores[n])
+            factor = factor.reshape(bshape + (-1, factor.shape[-1]))
+        if factor.shape[-1] > 1:
+            factor = factor.sum(axis=-1)
+        else:
+            factor = factor[..., 0]
+        return factor.reshape(shape)
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self.full())
+
+    def torch(self):
+        """Decompress to a (CPU) PyTorch tensor, for reference-API parity."""
+        import torch
+
+        return torch.from_numpy(np.asarray(self.full()))
+
+    def to(self, device):
+        for i in range(self.dim()):
+            self.cores[i] = jax.device_put(self.cores[i], device)
+            if self.Us[i] is not None:
+                self.Us[i] = jax.device_put(self.Us[i], device)
+        return self
+
+    def _cp_to_tt(self, factor=None):
+        """CP factor -> TT core with diagonal slices (reference tensor.py:1717-1765).
+
+        C[..., a, i, b] = delta(a, b) * factor[..., i, a] — built directly with
+        an identity mask instead of the reference's reshape trick.
+        """
+        m = self._m
+        if factor is None:
+            if self.cores[0].ndim == m:
+                self.cores[0] = self.cores[0][:, None] if self.batch else self.cores[0][None]
+            for mu in range(1, self.dim() - 1):
+                self.cores[mu] = self._cp_to_tt(self.cores[mu])
+            if self.cores[-1].ndim == m:
+                self.cores[-1] = jnp.swapaxes(self.cores[-1], -1, -2)[..., None]
+            return
+        if factor.ndim == m + 1:
+            return factor
+        R = factor.shape[-1]
+        eye = jnp.eye(R, dtype=factor.dtype)
+        ft = jnp.swapaxes(factor, -1, -2)  # (..., R, I)
+        return eye[..., :, None, :] * ft[..., :, :, None]
+
+    # ------------------------------------------------------------------
+    # Rounding and orthogonalization (reference tensor.py:1771-2098)
+    # ------------------------------------------------------------------
+    def factor_orthogonalize(self, mu: int):
+        if self.Us[mu] is None:
+            return
+        Q, R = jnp.linalg.qr(self.Us[mu])
+        self.Us[mu] = Q
+        if self.cores[mu].ndim == self._m:
+            self.cores[mu] = jnp.einsum("...jk,...aj->...ak", self.cores[mu], R)
+        else:
+            self.cores[mu] = jnp.einsum("...ijk,...aj->...iak", self.cores[mu], R)
+
+    def left_orthogonalize(self, mu: int):
+        """QR the mu-th core's left unfolding; push R right (reference tensor.py:1800-1833)."""
+        assert 0 <= mu < self.dim() - 1
+        self.factor_orthogonalize(mu)
+        Q, R = jnp.linalg.qr(tn.left_unfolding(self.cores[mu], batch=self.batch))
+        self.cores[mu] = Q.reshape(self.cores[mu].shape[:-1] + (Q.shape[-1],))
+        rightcoreR = tn.right_unfolding(self.cores[mu + 1], batch=self.batch)
+        self.cores[mu + 1] = (R @ rightcoreR).reshape(
+            R.shape[:-1] + self.cores[mu + 1].shape[-2:]
+        )
+        return R
+
+    def right_orthogonalize(self, mu: int):
+        """LQ (via QR of the transpose) on the right unfolding; push L left."""
+        assert 1 <= mu < self.dim()
+        self.factor_orthogonalize(mu)
+        Mt = jnp.swapaxes(tn.right_unfolding(self.cores[mu], batch=self.batch), -1, -2)
+        Q, L = jnp.linalg.qr(Mt)
+        L = jnp.swapaxes(L, -1, -2)
+        Q = jnp.swapaxes(Q, -1, -2)
+        self.cores[mu] = Q.reshape(Q.shape[:-1] + self.cores[mu].shape[-2:])
+        leftcoreL = tn.left_unfolding(self.cores[mu - 1], batch=self.batch)
+        self.cores[mu - 1] = (leftcoreL @ L).reshape(
+            self.cores[mu - 1].shape[:-1] + (L.shape[-1],)
+        )
+        return L
+
+    def orthogonalize(self, mu: int):
+        """Make the tensor mu-orthogonal via QR sweeps (reference tensor.py:1881-1909)."""
+        if mu < 0:
+            mu += self.dim()
+        self._cp_to_tt()
+        bshape = (self.cores[0].shape[0],) if self.batch else ()
+        dtype = self.cores[0].dtype
+        L = jnp.ones(bshape + (1, 1), dtype=dtype)
+        R = jnp.ones(bshape + (1, 1), dtype=dtype)
+        for i in range(mu):
+            R = self.left_orthogonalize(i)
+        for i in range(self.dim() - 1, mu, -1):
+            L = self.right_orthogonalize(i)
+        return R, L
+
+    def round_tucker(self, eps: float = 1e-14, rmax=None, dim="all", algorithm: str = "svd"):
+        """Reduce Tucker ranks in place (reference tensor.py:1911-2006)."""
+        N = self.dim()
+        if not hasattr(rmax, "__len__"):
+            rmax = [rmax] * N
+        assert len(rmax) == N
+        if dim == "all":
+            dim = range(N)
+        if not hasattr(dim, "__len__"):
+            dim = [dim] * N
+
+        for m in dim:
+            self.cores[m] = self._cp_to_tt(self.cores[m])
+        self.orthogonalize(-1)
+        bshape = (self.cores[0].shape[0],) if self.batch else ()
+        for mu in range(N - 1, -1, -1):
+            dtype = self.cores[mu].dtype
+            if self.Us[mu] is None:
+                sp = self.shape[mu + 1] if self.batch else self.shape[mu]
+                eye = jnp.eye(sp, dtype=dtype)
+                self.Us[mu] = jnp.tile(eye[None], bshape + (1, 1)) if self.batch else eye
+
+            # Push the core's non-orthogonality into the factor
+            core = self.cores[mu]
+            perm = jnp.swapaxes(core, -1, -2)  # (..., Rl, Rr, S)
+            Q, R = jnp.linalg.qr(perm.reshape(bshape + (-1, core.shape[-2])))
+            self.cores[mu] = jnp.swapaxes(
+                Q.reshape(bshape + (core.shape[-3], core.shape[-1], -1)), -1, -2
+            )
+            self.Us[mu] = self.Us[mu] @ jnp.swapaxes(R, -1, -2)
+
+            left, right = tn.truncated_svd(
+                self.Us[mu],
+                eps=eps / np.sqrt(len(dim)),
+                rmax=rmax[mu],
+                left_ortho=True,
+                algorithm=algorithm,
+                batch=self.batch,
+            )
+            self.Us[mu] = left
+            self.cores[mu] = jnp.einsum("...ijk,...aj->...iak", self.cores[mu], right)
+            if mu > 0:
+                self.right_orthogonalize(mu)
+
+    def round_tt(self, eps: float = 1e-14, rmax=None, algorithm: str = "svd", verbose: bool = False):
+        """Reduce TT ranks in place: left-orthogonalize, then a right-to-left
+        truncated-SVD sweep with error budget delta = eps*|t|/sqrt(N-1)
+        (reference tensor.py:2008-2083)."""
+        N = self.dim()
+        if not hasattr(rmax, "__len__"):
+            rmax = [rmax] * (N - 1)
+        assert len(rmax) == N - 1
+
+        self._cp_to_tt()
+        self.orthogonalize(N - 1)
+        if self.batch:
+            delta = None
+        else:
+            delta = float(
+                eps / max(1.0, np.sqrt(N - 1)) * jnp.linalg.norm(self.cores[-1].reshape(-1))
+            )
+
+        for mu in range(N - 1, 0, -1):
+            M = tn.right_unfolding(self.cores[mu], batch=self.batch)
+            left, right = tn.truncated_svd(
+                M, delta=delta, rmax=rmax[mu - 1], left_ortho=False,
+                algorithm=algorithm, verbose=verbose, batch=self.batch,
+            )
+            self.cores[mu] = right.reshape(
+                (self.cores[mu].shape[:1] if self.batch else ())
+                + (-1,) + self.cores[mu].shape[-2:]
+            )
+            self.cores[mu - 1] = jnp.einsum("...ijk,...kl->...ijl", self.cores[mu - 1], left)
+
+    def round(self, eps: float = 1e-14, **kwargs):
+        """TT rounding first, Tucker rounding with the leftover error budget
+        (reference tensor.py:2085-2098)."""
+        copy = self.clone()
+        self.round_tt(eps, **kwargs)
+        reached = float(tn.relative_error(copy, self))
+        if reached < eps:
+            self.round_tucker((1 + eps) / (1 + reached) - 1, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Convenience methods
+    # ------------------------------------------------------------------
+    def dot(self, other, **kwargs):
+        return tn.dot(self, other, **kwargs)
+
+    def mean(self, **kwargs):
+        return tn.mean(self, **kwargs)
+
+    def sum(self, **kwargs):
+        return tn.sum(self, **kwargs)
+
+    def var(self, **kwargs):
+        return tn.var(self, **kwargs)
+
+    def std(self, **kwargs):
+        return tn.std(self, **kwargs)
+
+    def norm(self, **kwargs):
+        return tn.norm(self, **kwargs)
+
+    def normsq(self, **kwargs):
+        return tn.normsq(self, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Miscellaneous
+    # ------------------------------------------------------------------
+    def set_factors(self, name, dim="all", requires_grad: bool = False):
+        """Set Tucker factors from a named basis family (reference tensor.py:2157-2189)."""
+        if dim == "all":
+            dim = range(self.dim())
+        off = 1 if self.batch else 0
+        for m in dim:
+            if self.Us[m] is None:
+                U = tn.generate_basis(name, (self.shape[m + off], self.shape[m + off]))
+            else:
+                U = tn.generate_basis(name, tuple(self.Us[m].shape[-2:]))
+            U = asarray(U, dtype=self.cores[m].dtype)
+            if self.batch:
+                U = jnp.tile(U[None], (self.shape[0], 1, 1))
+            self.Us[m] = U
+        self.requires_grad = requires_grad
+
+    def as_leaf(self):
+        """Detach from any autodiff trace (JAX: stop_gradient on all leaves)."""
+        self.cores = [jax.lax.stop_gradient(c) for c in self.cores]
+        self.Us = [None if U is None else jax.lax.stop_gradient(U) for U in self.Us]
+        return self
+
+    def clone(self):
+        t = Tensor(
+            list(self.cores),
+            Us=list(self.Us),
+            idxs=getattr(self, "idxs", None),
+            batch=self.batch,
+        )
+        t.requires_grad = self.requires_grad
+        return t
+
+    def numel(self):
+        return float(np.round(np.prod([float(s) for s in self.shape])))
+
+    def numcoef(self):
+        result = 0
+        for n in range(self.dim()):
+            result += int(np.prod(self.cores[n].shape))
+            if self.Us[n] is not None:
+                result += int(np.prod(self.Us[n].shape))
+        return result
+
+    def repeat(self, *rep):
+        """Tile along modes, like torch.repeat (reference tensor.py:2254-2287)."""
+        if len(rep) == 1 and hasattr(rep[0], "__len__"):
+            rep = tuple(rep[0])
+        assert len(rep) >= self.dim()
+        assert all(r >= 1 for r in rep)
+        t = self.clone()
+        if len(rep) > self.dim():
+            for n in range(self.dim(), len(rep)):
+                t.cores.append(jnp.ones((rep[n], t.cores[-1].shape[-1]), dtype=t.cores[-1].dtype))
+                t.Us.append(None)
+                t.idxs.append(np.arange(rep[n]))
+        for n in range(self.dim()):
+            if t.Us[n] is not None:
+                t.Us[n] = jnp.tile(t.Us[n], (1,) * (t.Us[n].ndim - 2) + (rep[n], 1))
+            else:
+                reps = [1] * t.cores[n].ndim
+                reps[-2] = rep[n]
+                t.cores[n] = jnp.tile(t.cores[n], reps)
+        return t
+
+
+# ----------------------------------------------------------------------
+# Pytree registration: cores and Tucker factors are leaves; batch flag and
+# idxs annotations are static aux data. This is what makes every op
+# jit/vmap/grad-compatible.
+# ----------------------------------------------------------------------
+def _tensor_flatten(t: Tensor):
+    children = (t.cores, t.Us)
+    idxs = tuple(
+        None if i is None else tuple(np.asarray(i).tolist()) for i in getattr(t, "idxs", [])
+    )
+    aux = (t.batch, idxs, t.requires_grad)
+    return children, aux
+
+
+def _tensor_unflatten(aux, children):
+    t = object.__new__(Tensor)
+    t.cores = list(children[0])
+    t.Us = list(children[1])
+    t.batch = aux[0]
+    t.idxs = [None if i is None else np.asarray(i) for i in aux[1]]
+    t.requires_grad = aux[2]
+    return t
+
+
+jax.tree_util.register_pytree_node(Tensor, _tensor_flatten, _tensor_unflatten)

@@ -1,0 +1,428 @@
+"""NumPy-like manipulation and multilinear algebra on compressed tensors.
+
+Behavioral reference: /root/reference/tntorch/tools.py:14-698.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from tntorch_tpu.utils import asarray, default_dtype, to_numpy
+
+"""
+Array-like manipulations
+"""
+
+
+def squeeze(t, dim=None):
+    """Remove singleton dimensions (reference tools.py:14-34)."""
+    if dim is None:
+        dim = np.where([s == 1 for s in t.shape])[0]
+    if not hasattr(dim, "__len__"):
+        dim = [dim]
+    assert np.all(np.array(t.shape)[list(dim)] == 1)
+    idx = [slice(None) for _ in range(len(t.shape))]
+    for m in dim:
+        idx[m] = 0
+    return t[tuple(idx)]
+
+
+def unsqueeze(t, dim):
+    """Insert singleton dimensions (reference tools.py:37-53)."""
+    if not hasattr(dim, "__len__"):
+        dim = [dim]
+    idx: list = [slice(None) for _ in range(t.dim() + len(dim))]
+    for d in dim:
+        idx[d] = None
+    return t[tuple(idx)]
+
+
+def cat(*ts, dim):
+    """Concatenate along a mode via zero-padding + rank-sum add (reference tools.py:56-104)."""
+    if hasattr(ts[0], "__len__"):
+        ts = ts[0]
+    if len(ts) == 1:
+        return ts[0].clone()
+    if any(
+        any(t.shape[n] != ts[0].shape[n] for n in np.delete(range(ts[0].dim()), dim))
+        for t in ts[1:]
+    ):
+        raise ValueError(
+            "To concatenate tensors, all must have the same shape along all but the given dim"
+        )
+
+    shapes = np.array([t.shape[dim] for t in ts])
+    sumshapes = np.concatenate([np.array([0]), np.cumsum(shapes)])
+    result = None
+    for i in range(len(ts)):
+        t = ts[i].clone()
+        if t.Us[dim] is None:
+            c = t.cores[dim]
+            if c.ndim == 2:
+                z = jnp.zeros((sumshapes[-1], c.shape[-1]), dtype=c.dtype)
+            else:
+                z = jnp.zeros((c.shape[0], sumshapes[-1], c.shape[-1]), dtype=c.dtype)
+            t.cores[dim] = z.at[..., sumshapes[i]:sumshapes[i + 1], :].add(c)
+        else:
+            U = t.Us[dim]
+            z = jnp.zeros((sumshapes[-1], U.shape[-1]), dtype=U.dtype)
+            t.Us[dim] = z.at[sumshapes[i]:sumshapes[i + 1], :].add(U)
+        result = t if result is None else result + t
+    return result
+
+
+def transpose(t):
+    """Reverse mode order (reference tools.py:107-132)."""
+    cores, Us, idxs = [], [], []
+    for n in range(t.dim() - 1, -1, -1):
+        if t.cores[n].ndim == 3:
+            cores.append(jnp.transpose(t.cores[n], (2, 1, 0)))
+        else:
+            cores.append(t.cores[n])
+        Us.append(None if t.Us[n] is None else t.Us[n])
+        try:
+            idxs.append(np.asarray(t.idxs[n]).copy())
+        except Exception:
+            idxs.append(None)
+    return tn.Tensor(cores, Us, idxs)
+
+
+def meshgrid(*axes, batch: bool = False):
+    """N rank-1-per-mode tensors spanning a grid (reference tools.py:135-166)."""
+    if not hasattr(axes, "__len__"):
+        axes = [axes]
+    if hasattr(axes[0], "__len__"):
+        axes = axes[0]
+    axes = list(axes)
+    N = len(axes)
+    dtype = default_dtype()
+    for n in range(N):
+        if not hasattr(axes[n], "__len__"):
+            axes[n] = jnp.arange(axes[n], dtype=dtype)
+        else:
+            axes[n] = asarray(axes[n], dtype=dtype)
+
+    tensors = []
+    for n in range(N):
+        cores = [jnp.ones((1, len(ax), 1), dtype=dtype) for ax in axes]
+        cores[n] = axes[n][None, :, None]
+        tensors.append(tn.Tensor(cores, batch=batch))
+    return tensors
+
+
+def flip(t, dim):
+    """Reverse order along modes (reference tools.py:169-190)."""
+    if not hasattr(dim, "__len__"):
+        dim = [dim]
+    shape = t.shape
+    result = t.clone()
+    for d in dim:
+        idx = np.arange(shape[d] - 1, -1, -1)
+        if result.Us[d] is not None:
+            result.Us[d] = result.Us[d][idx, :]
+        else:
+            result.cores[d] = result.cores[d][..., idx, :]
+    return result
+
+
+def unbind(t, dim):
+    """Slice a tensor along a mode into a list (reference tools.py:193-208)."""
+    if dim < 0:
+        dim += t.dim()
+    return [
+        t[tuple([slice(None)] * dim + [sl] + [slice(None)] * (t.dim() - 1 - dim))]
+        for sl in range(t.shape[dim])
+    ]
+
+
+def unfolding(data, n, batch: bool = False):
+    """n-th mode unfolding of a dense array (reference tools.py:211-228)."""
+    data = asarray(data)
+    if batch:
+        perm = [0, n + 1] + list(range(1, n + 1)) + list(range(n + 2, data.ndim))
+        return jnp.transpose(data, perm).reshape(data.shape[0], data.shape[n + 1], -1)
+    perm = [n] + list(range(n)) + list(range(n + 1, data.ndim))
+    return jnp.transpose(data, perm).reshape(data.shape[n], -1)
+
+
+def right_unfolding(core, batch: bool = False):
+    """R_{n-1} x (I_n R_n) matricization (reference tools.py:231-243)."""
+    if batch:
+        return core.reshape(core.shape[0], core.shape[1], -1)
+    return core.reshape(core.shape[0], -1)
+
+
+def left_unfolding(core, batch: bool = False):
+    """(R_{n-1} I_n) x R_n matricization (reference tools.py:246-258)."""
+    if batch:
+        return core.reshape(core.shape[0], -1, core.shape[-1])
+    return core.reshape(-1, core.shape[-1])
+
+
+"""
+Multilinear algebra
+"""
+
+
+def ttm(t, U, dim=None, transpose: bool = False):
+    """Tensor-times-matrix along one or several modes (reference tools.py:266-325)."""
+    if not isinstance(U, (list, tuple)):
+        U = [U]
+    U = [asarray(u) for u in U]
+    if dim is None:
+        dim = range(len(U))
+    if not hasattr(dim, "__len__"):
+        dim = [dim]
+    dim = [d + t.dim() if d < 0 else d for d in dim]
+
+    cores, Us = [], []
+    for n in range(t.dim()):
+        if n in dim:
+            factor = U[dim.index(n)]
+            if transpose:
+                factor = jnp.swapaxes(factor, -1, -2)
+            if factor.ndim == 1 and not t.batch:
+                factor = factor[None, ...]
+            if factor.ndim == 2 and t.batch:
+                factor = factor[:, None, ...]
+            if t.Us[n] is None:
+                if t.cores[n].ndim == (4 if t.batch else 3):
+                    cores.append(jnp.einsum("...iak,...ja->...ijk", t.cores[n], factor))
+                else:
+                    cores.append(jnp.einsum("...ai,...ja->...ji", t.cores[n], factor))
+                Us.append(None)
+            else:
+                cores.append(t.cores[n])
+                Us.append(factor @ t.Us[n])
+        else:
+            cores.append(t.cores[n])
+            Us.append(t.Us[n])
+    return tn.Tensor(cores, Us=Us, idxs=t.idxs, batch=t.batch)
+
+
+"""
+Miscellaneous
+"""
+
+
+def mask(t, mask):
+    """idxs-aligned elementwise mask product (reference tools.py:333-359)."""
+    if not hasattr(t, "idxs") or t.idxs is None:
+        idxs = [np.arange(sh) for sh in t.shape]
+    else:
+        idxs = t.idxs
+    cores, Us = [], []
+    for n in range(t.dim()):
+        idx = np.array(idxs[n]).astype(np.int64)
+        idx[idx >= mask.shape[n]] = mask.shape[n] - 1  # clamp
+        if mask.Us[n] is None:
+            cores.append(mask.cores[n][..., idx, :])
+            Us.append(None)
+        else:
+            cores.append(mask.cores[n])
+            Us.append(mask.Us[n][idx, :])
+    m = tn.Tensor(cores, Us)
+    return t * m
+
+
+def sample(t, P: int = 1, seed=None):
+    """Draw P integer points from the tensor viewed as an (unnormalized) PMF
+    via sequential conditionals (reference tools.py:362-407). Host-side."""
+
+    def from_matrix(M):
+        M = np.abs(M)
+        M = M / np.sum(M, axis=1)[:, None]
+        M = np.hstack([np.zeros([M.shape[0], 1]), M])
+        M = np.cumsum(M, axis=1)
+        thresh = rng.random(M.shape[0])
+        M = M - thresh[:, np.newaxis]
+        shiftand = np.logical_and(M[:, :-1] <= 0, M[:, 1:] > 0)
+        return np.where(shiftand)[1]
+
+    rng = np.random.default_rng(seed=seed)
+    N = t.dim()
+    tsum = tn.sum(t, dim=np.arange(N), keepdim=True).decompress_tucker_factors()
+    Xs = np.zeros([P, N], dtype=np.int64)
+    rights = [np.ones(1)]
+    for core in tsum.cores[::-1]:
+        rights.append(np.asarray(jnp.sum(core, axis=1)) @ rights[-1])
+    rights = rights[::-1]
+    lefts = np.ones([P, 1])
+    t = t.decompress_tucker_factors()
+    for mu in range(t.dim()):
+        core = np.asarray(t.cores[mu])
+        fiber = np.einsum("ijk,k->ij", core, rights[mu + 1])
+        per_point = lefts @ fiber
+        rows = from_matrix(per_point)
+        Xs[:, mu] = rows
+        lefts = np.einsum("ij,jik->ik", lefts, core[:, rows, :])
+    return jnp.asarray(Xs)
+
+
+def hash(t):
+    """Representation-independent fingerprint: dot with a fixed random rank-1
+    tensor (reference tools.py:410-424)."""
+    key = jax.random.key(0)
+    cores = [jnp.ones((1, 1, 1), dtype=t.cores[0].dtype) for _ in range(t.dim())]
+    Us = []
+    for sh in t.shape:
+        key, sub = jax.random.split(key)
+        Us.append(jax.random.uniform(sub, (sh, 1), dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
+    w = tn.Tensor(cores, Us)
+    return t.dot(w)
+
+
+def generate_basis(name: str, shape, orthonormal: bool = False):
+    """Truncated function bases: dct/legendre/chebyshev/hermite/identity
+    (reference tools.py:427-457)."""
+    if name == "dct":
+        import scipy.fft
+
+        U = scipy.fft.dct(np.eye(shape[0]), norm="ortho")[:, : shape[1]]
+    elif name == "identity":
+        U = np.eye(shape[0], shape[1])
+    else:
+        eval_points = np.linspace(-1, 1, shape[0])
+        if name == "legendre":
+            U = np.polynomial.legendre.legval(eval_points, np.eye(shape[0], shape[1])).T
+        elif name == "chebyshev":
+            U = np.polynomial.chebyshev.chebval(eval_points, np.eye(shape[0], shape[1])).T
+        elif name == "hermite":
+            U = np.polynomial.hermite.hermval(eval_points, np.eye(shape[0], shape[1])).T
+        else:
+            raise ValueError("Unsupported basis function")
+    if orthonormal:
+        U = U / np.sqrt(np.sum(U * U, axis=0))
+    return jnp.asarray(U)
+
+
+def reduce(ts, function, eps=0, rmax=np.iinfo(np.int32).max, algorithm="svd", verbose=False, **kwargs):
+    """Binary-tree fold of a tensor sequence with intermediate rounding
+    (reference tools.py:460-512) — the bounded-rank 'long input' strategy."""
+    d = dict()
+    start = time.time()
+    for i, elem in enumerate(ts):
+        if verbose and i % 100 == 0:
+            print("reduce: element {}, time={:g}".format(i, time.time() - start))
+        climb = 0
+        while climb in d:
+            elem = tn.round(function(d[climb], elem, **kwargs), eps=eps, rmax=rmax, algorithm=algorithm)
+            d.pop(climb)
+            climb += 1
+        d[climb] = elem
+    keys = list(d.keys())
+    result = d[keys[0]]
+    for key in keys[1:]:
+        result = tn.round(function(result, d[key], **kwargs), eps=eps, rmax=rmax, algorithm=algorithm)
+    return result
+
+
+def pad(t, shape, dim=None, fill_value=0):
+    """Pad modes with a constant (reference tools.py:515-576)."""
+    if dim is None:
+        dim = range(t.dim())
+    if not hasattr(dim, "__len__"):
+        dim = [dim]
+    if not hasattr(shape, "__len__"):
+        shape = [shape] * len(dim)
+
+    t = t.clone()
+    for i in range(len(dim)):
+        mult = fill_value if i == 0 else 0
+        if t.Us[dim[i]] is None:
+            c = t.cores[dim[i]]
+            if c.ndim == 2:
+                extra = mult * jnp.ones((shape[i] - c.shape[0], c.shape[1]), dtype=c.dtype)
+                t.cores[dim[i]] = jnp.concatenate([c, extra], axis=0)
+            else:
+                extra = mult * jnp.ones((c.shape[0], shape[i] - c.shape[1], c.shape[2]), dtype=c.dtype)
+                t.cores[dim[i]] = jnp.concatenate([c, extra], axis=1)
+        else:
+            U = t.Us[dim[i]]
+            extra = mult * jnp.ones((shape[i] - U.shape[0], U.shape[1]), dtype=U.dtype)
+            t.Us[dim[i]] = jnp.concatenate([U, extra], axis=0)
+    return t
+
+
+def convolve(t1, t2, mode: str = "full", **kwargs):
+    """ND convolution via per-core FFT + cross-approximated frequency product
+    (Rakhuba-Oseledets; reference tools.py:579-647)."""
+    N = t1.dim()
+    assert N == t2.dim()
+    t1 = t1.decompress_tucker_factors()
+    t2 = t2.decompress_tucker_factors()
+    t1f = tn.Tensor(
+        [jnp.fft.fft(t1.cores[n], n=t1.shape[n] + t2.shape[n] - 1, axis=1) for n in range(N)]
+    )
+    t2f = tn.Tensor(
+        [jnp.fft.fft(t2.cores[n], n=t1.shape[n] + t2.shape[n] - 1, axis=1) for n in range(N)]
+    )
+
+    def multr(x, y):
+        return jnp.real(x) * jnp.real(y) - jnp.imag(x) * jnp.imag(y)
+
+    def multi(x, y):
+        return jnp.imag(x) * jnp.real(y) + jnp.real(x) * jnp.imag(y)
+
+    t12fr = tn.cross(tensors=[t1f, t2f], function=multr, **kwargs)
+    t12fi = tn.cross(tensors=[t1f, t2f], function=multi, **kwargs)
+    t12fi.cores[-1] = t12fi.cores[-1] * 1j
+    t12r = tn.Tensor([jnp.fft.ifft(t12fr.cores[n], axis=1) for n in range(N)])
+    t12i = tn.Tensor([jnp.fft.ifft(t12fi.cores[n], axis=1) for n in range(N)])
+    t12 = tn.cross(
+        tensors=[t12r, t12i], function=lambda x, y: jnp.real(x) + jnp.real(y), **kwargs
+    )
+
+    if mode == "same":
+        for n in range(N):
+            k = min(t1.shape[n], t2.shape[n])
+            t12.cores[n] = t12.cores[n][:, k // 2 : k // 2 + max(t1.shape[n], t2.shape[n]), :]
+    elif mode == "valid":
+        for n in range(N):
+            k = min(t1.shape[n], t2.shape[n])
+            t12.cores[n] = t12.cores[n][:, k - 1 : -(k - 1), :]
+    return t12
+
+
+def shift_mode(t, n, shift, eps=1e-3):
+    """Move a mode within the TT via pairwise SVD swaps; in place
+    (reference tools.py:650-698)."""
+    N = t.dim()
+    assert 0 <= n + shift < N
+    if shift == 0:
+        return t
+    if any(U is not None for U in t.Us):
+        t2 = t.decompress_tucker_factors(_clone=False)
+        t.cores = t2.cores
+        t.Us = t2.Us
+    t.orthogonalize(n)
+    cores = t.cores
+    sign = int(np.sign(shift))
+    for i in range(n, n + shift, sign):
+        if sign == 1:
+            c1, c2, left_ortho = i, i + 1, True
+        else:
+            c1, c2, left_ortho = i - 1, i, False
+        R1 = cores[c1].shape[0]
+        R2 = cores[c1].shape[2]
+        R3 = cores[c2].shape[2]
+        I1 = cores[c1].shape[1]
+        I2 = cores[c2].shape[1]
+        sc = jnp.einsum("iaj,jbk->ibak", cores[c1], cores[c2])
+        sc = sc.reshape(sc.shape[0] * sc.shape[1], sc.shape[2] * sc.shape[3])
+        if eps == "same":
+            left, right = tn.truncated_svd(sc, eps=0, rmax=R2, left_ortho=left_ortho)
+        elif eps >= 0:
+            left, right = tn.truncated_svd(sc, eps=eps / np.sqrt(np.abs(shift)), left_ortho=left_ortho)
+        else:
+            raise ValueError("Relative error '{}' not recognized".format(eps))
+        newR2 = left.shape[1]
+        cores[c1] = left.reshape(R1, I2, newR2)
+        cores[c2] = right.reshape(newR2, I1, R3)
+    return t

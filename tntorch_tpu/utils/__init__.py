@@ -1,0 +1,72 @@
+"""Shared utilities: array conversion, RNG plumbing, dtype defaults, logging.
+
+The reference library (rballester/tntorch) leans on PyTorch global state
+(default dtype, global RNG). JAX is functional/explicit, so this module provides
+the thin shims that keep the flat `tn.*` API ergonomic:
+
+- a process-level PRNG key stream (`next_key`) so `tn.rand(...)` works without
+  threading keys, while still allowing explicit `key=` arguments everywhere;
+- `asarray` that accepts NumPy / PyTorch / JAX inputs;
+- `default_dtype()` that respects `jax.config.jax_enable_x64`.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("tntorch_tpu")
+
+_state = threading.local()
+
+
+def seed(s: int) -> None:
+    """Seed the process-level PRNG stream used when no explicit key is given."""
+    _state.key = jax.random.key(s)
+
+
+def next_key(key: Optional[jax.Array] = None) -> jax.Array:
+    """Return a fresh PRNG key (from `key` if given, else the global stream)."""
+    if key is not None:
+        return key
+    if not hasattr(_state, "key"):
+        _state.key = jax.random.key(np.random.SeedSequence().entropy % (2**63))
+    _state.key, sub = jax.random.split(_state.key)
+    return sub
+
+
+def default_dtype() -> jnp.dtype:
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def asarray(x: Any, dtype: Optional[Any] = None) -> jax.Array:
+    """Convert NumPy / PyTorch / JAX / scalar input to a jnp array."""
+    mod = type(x).__module__
+    if mod.startswith("torch"):
+        x = x.detach().cpu().numpy()
+    if isinstance(x, (float, int, complex)) or (
+        isinstance(x, np.ndarray) and x.dtype.kind == "f" and dtype is None
+    ):
+        pass
+    arr = jnp.asarray(x, dtype=dtype)
+    return arr
+
+
+def to_numpy(x: Any) -> np.ndarray:
+    mod = type(x).__module__
+    if mod.startswith("torch"):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def is_scalar(x: Any) -> bool:
+    if isinstance(x, (int, float, complex, np.integer, np.floating, np.complexfloating)):
+        return True
+    if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", None) == 0:
+        return True
+    return False
