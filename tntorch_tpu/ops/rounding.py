@@ -1,0 +1,114 @@
+"""Jit-compiled fixed-rank TT rounding — the performance path.
+
+The general `Tensor.round_tt` picks ranks from singular-value tails
+(data-dependent shapes -> host sync per mode, reference round.py:147-158).
+This kernel instead rounds to a *static* target rank, so the whole sweep
+(QR orthogonalization + Gram-eigh truncation) compiles to one XLA program:
+
+- one compilation per (shapes, rmax) bucket, then pure device execution;
+- truncation uses the Gram matrix + eigh instead of SVD: the Gram product
+  is an MXU matmul and eigh runs on a small R x R matrix, which maps far
+  better onto TPU than a full bidiagonalization SVD of the (R x I*R)
+  unfolding.
+
+This backs bench.py's TT-round throughput metric (BASELINE.json: GFLOP/s at
+n=256, r=64).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _left_orthogonalize_sweep(cores):
+    """QR sweep making cores 0..N-2 left-orthogonal (traceable, static shapes)."""
+    cores = list(cores)
+    N = len(cores)
+    for mu in range(N - 1):
+        Rl, I, Rr = cores[mu].shape
+        Q, R = jnp.linalg.qr(cores[mu].reshape(Rl * I, Rr))
+        cores[mu] = Q.reshape(Rl, I, Q.shape[1])
+        nxt = cores[mu + 1]
+        cores[mu + 1] = (R @ nxt.reshape(nxt.shape[0], -1)).reshape(
+            R.shape[0], nxt.shape[1], nxt.shape[2]
+        )
+    return cores
+
+
+@partial(jax.jit, static_argnums=(1,))
+def round_tt_fixed(cores: Sequence[jax.Array], rmax: int):
+    """Round a TT (tuple of 3D cores) to rank <= rmax. Fully on-device.
+
+    Equivalent to Tensor.round_tt(rmax=rmax, algorithm='eig') up to the
+    rank-selection rule: ranks are fixed at min(rmax, full), never chosen
+    from an error budget.
+    """
+    cores = _left_orthogonalize_sweep(list(cores))
+    N = len(cores)
+    for mu in range(N - 1, 0, -1):
+        Rl, I, Rr = cores[mu].shape
+        r = min(rmax, Rl)
+        M = cores[mu].reshape(Rl, I * Rr)
+        # Top-r left singular subspace via the (small) Gram matrix
+        G = M @ M.T
+        _, V = jnp.linalg.eigh(G)  # ascending
+        U = V[:, ::-1][:, :r]  # (Rl, r)
+        cores[mu] = (U.T @ M).reshape(r, I, Rr)
+        prev = cores[mu - 1]
+        cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U)
+    return cores
+
+
+@jax.jit
+def tt_full(cores: Sequence[jax.Array]):
+    """Jitted dense reconstruction of a pure TT (chain of batched matmuls)."""
+    factor = cores[0].reshape(-1, cores[0].shape[-1])
+    shape = [c.shape[1] for c in cores]
+    for c in cores[1:]:
+        factor = (factor @ c.reshape(c.shape[0], -1)).reshape(-1, c.shape[-1])
+    return factor.reshape(shape)
+
+
+@jax.jit
+def tt_dot(cores1: Sequence[jax.Array], cores2: Sequence[jax.Array]):
+    """Jitted TT-TT inner product (core-by-core Lprod chain as matmuls)."""
+    L = jnp.ones((cores2[0].shape[0], cores1[0].shape[0]), dtype=cores1[0].dtype)
+    for c1, c2 in zip(cores1, cores2):
+        Lc = jnp.einsum("sr,rai->sai", L, c1)
+        L = jnp.einsum("saj,sai->ji", c2, Lc)
+    return jnp.sum(L)
+
+
+def round_tt_flops(shapes, rmax: int) -> float:
+    """Nominal FLOP count of the fixed-rank rounding sweep: QR (2mn^2) per
+    left-orthogonalization, Gram + eigh + two projections per truncation.
+    Used consistently for us and for the CPU baseline in bench.py."""
+    flops = 0.0
+    shapes = [tuple(s) for s in shapes]
+    # LTR QR sweep
+    cur = list(shapes)
+    for mu in range(len(cur) - 1):
+        Rl, I, Rr = cur[mu]
+        m, n = Rl * I, Rr
+        flops += 2.0 * m * n * n  # QR
+        k = min(m, n)
+        R2l, I2, R2r = cur[mu + 1]
+        flops += 2.0 * k * R2l * I2 * R2r  # push R right
+        cur[mu] = (Rl, I, k)
+        cur[mu + 1] = (k, I2, R2r)
+    # RTL truncation
+    for mu in range(len(cur) - 1, 0, -1):
+        Rl, I, Rr = cur[mu]
+        r = min(rmax, Rl)
+        flops += 2.0 * Rl * Rl * I * Rr  # Gram
+        flops += 9.0 * Rl**3  # eigh (approx)
+        flops += 2.0 * r * Rl * I * Rr  # project
+        Pl, PI, PRr = cur[mu - 1]
+        flops += 2.0 * Pl * PI * PRr * r  # absorb U left
+        cur[mu] = (r, I, Rr)
+        cur[mu - 1] = (Pl, PI, r)
+    return flops

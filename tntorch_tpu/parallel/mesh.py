@@ -1,0 +1,127 @@
+"""Mesh construction and sharding placement for compressed tensors.
+
+The recipe (jax-ml scaling-book style): pick a Mesh, annotate shardings on
+the pytree leaves, jit, profile. XLA's SPMD partitioner inserts psum /
+all-gather where the annotated layouts require them; nothing here issues
+collectives by hand.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import tntorch_tpu as tn
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None, axis_names=("dp", "tp"), devices=None) -> Mesh:
+    """Build a device mesh. Default: all devices on 'dp' and 1 on 'tp'.
+
+    :param shape: mesh shape, e.g. (4, 2) for 4-way data x 2-way rank
+        parallelism. Must multiply to the device count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def _put(t: "tn.Tensor", specs, mesh: Mesh) -> "tn.Tensor":
+    t2 = t.clone()
+    t2.cores = [
+        jax.device_put(c, NamedSharding(mesh, spec)) for c, spec in zip(t2.cores, specs)
+    ]
+    return t2
+
+
+def shard_batch(t: "tn.Tensor", mesh: Mesh, axis: str = "dp") -> "tn.Tensor":
+    """Shard a batch=True tensor's leading batch dim across `axis` — pure data
+    parallelism (SURVEY.md section 2: batch sharding)."""
+    assert t.batch, "shard_batch requires a batch=True tensor"
+    specs = [P(axis, *(None,) * (c.ndim - 1)) for c in t.cores]
+    t2 = _put(t, specs, mesh)
+    t2.Us = [
+        None if U is None else jax.device_put(U, NamedSharding(mesh, P(axis, None, None)))
+        for U in t.Us
+    ]
+    return t2
+
+
+def rank_specs(cores, axis: str = "tp"):
+    """PartitionSpecs sharding each interior TT-rank edge consistently:
+    core n's right rank and core n+1's left rank carry the same axis so the
+    contraction is local, with XLA inserting one psum at the boundary."""
+    N = len(cores)
+    specs = []
+    for n, c in enumerate(cores):
+        left = axis if (n > 0 and n % 2 == 1) else None
+        right = axis if (n < N - 1 and n % 2 == 0) else None
+        if c.ndim == 3:
+            specs.append(P(left, None, right))
+        else:  # CP factor: shard the single rank axis
+            specs.append(P(None, right))
+    return specs
+
+
+def shard_ranks(t: "tn.Tensor", mesh: Mesh, axis: str = "tp") -> "tn.Tensor":
+    """Shard TT-rank axes of the cores across `axis` — rank/tensor parallelism
+    (SURVEY.md section 2: rank sharding of R x I x R cores)."""
+    return _put(t, rank_specs(t.cores, axis), mesh)
+
+
+def replicate(t: "tn.Tensor", mesh: Mesh) -> "tn.Tensor":
+    specs = [P(*(None,) * c.ndim) for c in t.cores]
+    return _put(t, specs, mesh)
+
+
+@jax.jit
+def _dot_jit(t1, t2):
+    return tn.metrics.dot(t1, t2)
+
+
+def sharded_dot(t1: "tn.Tensor", t2: "tn.Tensor"):
+    """Compressed dot product under jit: XLA partitions the core-chain
+    contraction according to the operands' placement (psum over tp for
+    rank-sharded cores; all-reduce of the scalar over dp for batch shards)."""
+    return _dot_jit(t1, t2)
+
+
+def sharded_norm(t: "tn.Tensor"):
+    return jnp.sqrt(jnp.clip(sharded_dot(t, t), min=0))
+
+
+def tt_batch_forward(cores, X):
+    """Evaluate a TT at a batch of integer index vectors: the compressed
+    fancy-indexing forward pass (flagship model inference).
+
+    :param cores: list of N cores (R_{n-1} x I_n x R_n)
+    :param X: (B, N) int32 sample coordinates
+    :return: (B,) values
+    """
+    B = X.shape[0]
+    v = jnp.ones((B, cores[0].shape[0]), dtype=cores[0].dtype)
+    for k, core in enumerate(cores):
+        G = core[:, X[:, k], :]  # (Rl, B, Rr)
+        v = jnp.einsum("br,rbs->bs", v, G)
+    return v[:, 0]
+
+
+def tt_forward_sharded(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
+    """Batch-sharded, rank-sharded TT evaluation: X shards over dp, interior
+    rank edges over tp; jit + NamedSharding constraints let XLA place the
+    per-edge psum on ICI."""
+    X = jax.device_put(X, NamedSharding(mesh, P(dp_axis, None)))
+    cores = [
+        jax.device_put(c, NamedSharding(mesh, spec))
+        for c, spec in zip(cores, rank_specs(cores, tp_axis))
+    ]
+    out_sharding = NamedSharding(mesh, P(dp_axis))
+    return jax.jit(tt_batch_forward, out_shardings=out_sharding)(cores, X)
