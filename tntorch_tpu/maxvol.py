@@ -34,12 +34,22 @@ def maxvol(A, tol: float = 1.05, max_iters: int = 100):
     """Select r rows of A (N x r) whose submatrix has quasi-maximal volume.
 
     Returns (row_indices [r], C = A @ inv(A[rows]) [N x r]).
+
+    Dispatches to the native C++ kernel (csrc/maxvol.cpp) when available for
+    real input; falls back to this NumPy implementation otherwise.
     """
     A = np.asarray(A)
     tol = max(tol, 1.0)
     N, r = A.shape
     if N <= r:
         return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
+
+    if A.dtype.kind == "f":
+        from tntorch_tpu._native import native_maxvol
+
+        out = native_maxvol(A, tol, max_iters)
+        if out is not None:
+            return out
 
     index = _initial_pivots(A)
     rows = index[:r]
@@ -77,6 +87,14 @@ def rect_maxvol(
     N, r = A.shape
     if N <= r:
         return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
+
+    if A.dtype.kind == "f" and min_add_K is None:
+        from tntorch_tpu._native import native_rect_maxvol
+
+        out = native_rect_maxvol(A, tol, maxK, minK, start_maxvol_iters, identity_submatrix)
+        if out is not None:
+            return out
+
     maxK = N if maxK is None or maxK > N else max(maxK, r)
     minK = r if minK is None or minK < r else min(minK, N)
     if min_add_K is not None:
