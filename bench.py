@@ -21,7 +21,7 @@ def bench_ours(cores_np, rmax, iters=20):
     import jax
     import jax.numpy as jnp
 
-    from tntorch_tpu.ops.rounding import round_tt_fixed
+    from tntorch_tpu.ops.rounding import round_tt_gram
 
     cores = tuple(jnp.asarray(c) for c in cores_np)
 
@@ -30,13 +30,13 @@ def bench_ours(cores_np, rmax, iters=20):
         # through the axon tunnel's async queue)
         return sum(float(jnp.sum(o)) for o in out)
 
-    out = round_tt_fixed(cores, rmax)  # warm-up (compile)
+    out = round_tt_gram(cores, rmax)  # warm-up (compile)
     sync(out)
-    out = round_tt_fixed(cores, rmax)  # warm-up (steady-state)
+    out = round_tt_gram(cores, rmax)  # warm-up (steady-state)
     sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = round_tt_fixed(cores, rmax)
+        out = round_tt_gram(cores, rmax)
     sync(out)
     return (time.perf_counter() - t0) / iters, out
 

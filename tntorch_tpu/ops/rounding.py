@@ -83,6 +83,70 @@ def tt_dot(cores1: Sequence[jax.Array], cores2: Sequence[jax.Array]):
     return jnp.sum(L)
 
 
+def _sqrt_factor(G, eps_rel=1e-12):
+    """Symmetric PSD square-root factor F (G = F F^T) and its inverse-transpose
+    action, via eigh (robust to semi-definiteness, unlike Cholesky)."""
+    w, V = jnp.linalg.eigh(G)
+    w = jnp.maximum(w, eps_rel * jnp.max(jnp.abs(w)))
+    s = jnp.sqrt(w)
+    F = V * s[None, :]          # G = F F^T
+    Finv = V / s[None, :]       # F^{-T} = Finv (since F^T = s V^T)
+    return F, Finv
+
+
+@partial(jax.jit, static_argnums=(1,))
+def round_tt_gram(cores: Sequence[jax.Array], rmax: int):
+    """Fixed-rank TT rounding WITHOUT orthogonalization sweeps: two-sided
+    Gram method (cf. Al Daas, Ballard et al., "Parallel TT rounding based on
+    Gram SVD"). Every large operation is a batched matmul (MXU); the only
+    dense factorizations are eigh/SVD on small R x R matrices.
+
+    Numerics: like algorithm='eig', the Gram squares the condition number —
+    use for f32/bf16 performance mode; the QR path (round_tt_fixed) is the
+    accuracy-first variant.
+    """
+    cores = list(cores)
+    N = len(cores)
+    dtype = cores[0].dtype
+
+    # Right Gram chain over the untouched suffix: G[k] = Gram of cores k+1..N
+    G = [None] * (N + 1)
+    G[N] = jnp.ones((1, 1), dtype=dtype)
+    for k in range(N, 1, -1):
+        C = cores[k - 1]  # (Rl, I, Rr)
+        T = jnp.einsum("aib,bc->aic", C, G[k])
+        G[k - 1] = jnp.einsum("aic,dic->ad", T, C)
+
+    # Left sweep: truncate each interior edge via small symmetric eigenproblems
+    from jax.scipy.linalg import solve_triangular
+
+    L = jnp.ones((1, 1), dtype=dtype)
+    for k in range(1, N):
+        C = cores[k - 1]
+        # Left Gram of the prefix ending at edge k
+        Lk = jnp.einsum("aib,ac,cid->bd", C, L, C)
+        # Cholesky square root with relative jitter (PSD, possibly singular)
+        jitter = 1e-7 * jnp.trace(Lk) / Lk.shape[0] + jnp.asarray(1e-30, dtype)
+        F = jnp.linalg.cholesky(Lk + jitter * jnp.eye(Lk.shape[0], dtype=dtype))  # lower
+        # Edge Gram in the orthonormalized prefix basis: A = F^T G F;
+        # its top-r eigenvectors U_r are the left singular vectors of the
+        # middle matrix S = F^T H (A = S S^T) — no SVD needed.
+        A = F.T @ G[k] @ F
+        _, V = jnp.linalg.eigh(A)  # ascending
+        r = min(rmax, A.shape[0])
+        U = V[:, ::-1][:, :r]
+        # X = F^{-T} U_r right-multiplies C_k; Y = U_r^T F^T = X^T Lk pushes
+        # the middle factor into C_{k+1}
+        X = solve_triangular(F, U, trans=1, lower=True)
+        Y = U.T @ F.T
+        cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
+        nxt = cores[k]
+        cores[k] = (Y @ nxt.reshape(nxt.shape[0], -1)).reshape(r, nxt.shape[1], nxt.shape[2])
+        # New left interface P~ U_r is orthonormal
+        L = jnp.eye(r, dtype=dtype)
+    return cores
+
+
 def round_tt_flops(shapes, rmax: int) -> float:
     """Nominal FLOP count of the fixed-rank rounding sweep: QR (2mn^2) per
     left-orthogonalization, Gram + eigh + two projections per truncation.
