@@ -1,0 +1,52 @@
+"""Jitted/Pallas kernel tests (ops/rounding.py, ops/pallas_tt.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tntorch_tpu as tn
+from tntorch_tpu.ops.pallas_tt import pallas_tt_eval
+from tntorch_tpu.ops.rounding import round_tt_fixed, round_tt_gram, tt_dot, tt_full
+from tntorch_tpu.parallel.mesh import tt_batch_forward
+
+np.random.seed(13)
+
+
+def test_round_kernels_exact_recovery():
+    a = tn.randn(12, 13, 14, 15, ranks_tt=4, key=jax.random.key(0))
+    b = a + a
+    cores = tuple(jnp.asarray(c) for c in b.cores)
+    dense = 2 * a.full()
+    for fn in (round_tt_fixed, round_tt_gram):
+        out = fn(cores, 4)
+        assert [c.shape for c in out] == [(1, 12, 4), (4, 13, 4), (4, 14, 4), (4, 15, 1)]
+        err = float(jnp.linalg.norm(tt_full(list(out)) - dense) / jnp.linalg.norm(dense))
+        assert err <= 1e-10
+
+
+def test_tt_dot_full():
+    a = tn.randn(6, 7, 8, ranks_tt=3)
+    b = tn.randn(6, 7, 8, ranks_tt=2)
+    assert abs(float(tt_dot(tuple(a.cores), tuple(b.cores))) - float(tn.dot(a, b))) <= 1e-10
+    assert np.allclose(tt_full(list(a.cores)), a.full())
+
+
+def test_pallas_tt_eval_interpret():
+    t = tn.randn(8, 9, 10, 11, ranks_tt=5, dtype=jnp.float32)
+    cores = tuple(c.astype(jnp.float32) for c in t.cores)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(
+        np.stack([rng.integers(0, s, 256) for s in t.shape], axis=1), dtype=jnp.int32
+    )
+    gt = tt_batch_forward(list(cores), X)
+    out = pallas_tt_eval(cores, X, interpret=True)
+    assert float(jnp.linalg.norm(out - gt) / jnp.linalg.norm(gt)) <= 1e-5
+
+
+def test_tt_eval_dispatch():
+    t = tn.randn(5, 6, 7, ranks_tt=3)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(np.stack([rng.integers(0, s, 64) for s in t.shape], axis=1), dtype=jnp.int32)
+    out = tn.tt_eval(t.cores, X)  # CPU -> XLA path
+    gt = np.asarray(t.full())[tuple(np.asarray(X).T)]
+    assert np.allclose(out, gt, atol=1e-10)

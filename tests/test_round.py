@@ -78,6 +78,21 @@ def test_round_tucker():
         assert tn.relative_error(gt, t) <= eps
 
 
+def test_round_tt_gram():
+    # Fixed-rank Gram path (jitted, all-matmul) recovers exact ranks
+    for i in range(5):
+        gt = tn.rand(np.random.randint(2, 8, np.random.randint(3, 6)), ranks_tt=np.random.randint(1, 6))
+        t = gt + gt
+        t.round_tt(rmax=[int(r) for r in gt.ranks_tt[1:-1]], algorithm="gram")
+        assert tn.relative_error(gt, t / 2) <= 1e-7
+        assert max(gt.ranks_tt) == max(t.ranks_tt)
+    # batch variant
+    gt = tn.rand([4, 6, 7, 8], ranks_tt=3, batch=True)
+    t = gt + gt
+    t.round_tt(rmax=3, algorithm="gram")
+    assert np.linalg.norm(t.numpy() - 2 * gt.numpy()) <= 1e-7
+
+
 def test_round_combined():
     x = np.random.rand(10, 10, 10)
     t = tn.Tensor(x)

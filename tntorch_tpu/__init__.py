@@ -36,6 +36,8 @@ from tntorch_tpu.interpolation import (
     indices2features, empirical_marginals, gram_schmidt, lars_path, PCEInterpolator,
 )
 from tntorch_tpu.models import TTMatrix, CPMatrix, tt_multiply, cp_multiply
+from tntorch_tpu.ops.pallas_tt import tt_eval
+from tntorch_tpu.ops.rounding import round_tt_fixed, round_tt_gram, tt_full, tt_dot
 from tntorch_tpu.serialization import save, load
 
 __version__ = "0.1.0"

@@ -127,10 +127,14 @@ def optimize(
             delta_loss = losses_hist[-1] - losses_hist[-2]
         else:
             delta_loss = float("-inf")
+        # Converged when the loss is below tol, or improved by a relative
+        # amount below tol while decelerating. NOTE: unlike the reference
+        # (autodiff.py:67-76), a transient loss *increase* (delta > 0, common
+        # with Adam at higher learning rates) does not count as convergence.
         if (
             it >= 2
             and tol is not None
-            and (losses_hist[-1] <= tol or -delta_loss / losses_hist[-1] <= tol)
+            and (losses_hist[-1] <= tol or 0 <= -delta_loss / losses_hist[-1] <= tol)
             and losses_hist[-2] - losses_hist[-1] < losses_hist[-3] - losses_hist[-2]
         ):
             converged = True

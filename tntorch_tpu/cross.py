@@ -61,6 +61,63 @@ def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
     return info["argmin"]
 
 
+# ---------------------------------------------------------------------------
+# Jitted step kernels. jax.jit caches one executable per shape bucket, so the
+# sweep's inner loop costs a handful of XLA dispatches instead of dozens of
+# eagerly traced gathers/einsums per step (the dominant cost of this
+# algorithm — the FLOPs themselves are tiny).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _rchain(cores_tail, idx):
+    """Right interface chain: contract cores j+1..N-1 at the index rows."""
+    P = idx.shape[0]
+    M = jnp.ones((cores_tail[-1].shape[-1], P), dtype=cores_tail[-1].dtype)
+    for n in range(len(cores_tail) - 1, -1, -1):
+        c = cores_tail[n]
+        if c.ndim == 3:  # TT core
+            M = jnp.einsum("iaj,ja->ia", c[:, idx[:, n], :], M)
+        else:  # CP factor
+            M = jnp.einsum("ai,ia->ia", c[idx[:, n], :], M)
+    return M
+
+
+@jax.jit
+def _fibers(lint, core, rint):
+    """Evaluate the (Rl x I x Rr) fiber tensor of one input TT/CP core."""
+    if core.ndim == 3:
+        V = jnp.einsum("ai,ibj,jc->abc", lint, core, rint)
+    else:
+        V = jnp.einsum("ai,bi,ic->abc", lint, core, rint)
+    return V.reshape(-1)
+
+
+@jax.jit
+def _qr_q(V):
+    return jnp.linalg.qr(V)[0]
+
+
+@jax.jit
+def _interp(Q, local):
+    """Interpolation core: rows `local` become the identity."""
+    return jnp.linalg.solve(Q[local, :].T, Q.T).T
+
+
+@jax.jit
+def _lint_update(lint, core, local_r, local_i):
+    if core.ndim == 3:
+        return jnp.einsum("ai,iaj->aj", lint[local_r, :], core[:, local_i, :])
+    return jnp.einsum("ai,ai->ai", lint[local_r, :], core[local_i, :])
+
+
+@jax.jit
+def _rint_update(core, rint, local_i, local_r):
+    if core.ndim == 3:
+        return jnp.einsum("iaj,ja->ia", core[:, local_i, :], rint[:, local_r])
+    return jnp.einsum("ai,ia->ia", core[local_i, :], rint[:, local_r])
+
+
 def init_interfaces(tensors, rsets, N):
     """Left/right interface chains for each input tensor (reference cross.py:113-135)."""
     t_linterfaces = []
@@ -72,14 +129,9 @@ def init_interfaces(tensors, rsets, N):
             jnp.ones((int(t.ranks_tt[t.dim()]), 1), dtype=dtype)
         ]
         for j in range(N - 1):
-            M = jnp.ones((t.cores[-1].shape[-1], len(rsets[j])), dtype=dtype)
-            for n in range(N - 1, j, -1):
-                idx = rsets[j][:, n - 1 - j]
-                if t.cores[n].ndim == 3:  # TT core
-                    M = jnp.einsum("iaj,ja->ia", t.cores[n][:, idx, :], M)
-                else:  # CP factor
-                    M = jnp.einsum("ai,ia->ia", t.cores[n][idx, :], M)
-            rinterfaces[j] = M
+            rinterfaces[j] = _rchain(
+                tuple(t.cores[j + 1:]), jnp.asarray(rsets[j][:, : N - 1 - j])
+            )
         t_linterfaces.append(linterfaces)
         t_rinterfaces.append(rinterfaces)
     return t_linterfaces, t_rinterfaces
@@ -170,6 +222,7 @@ def cross(
 
     # Validation set
     Xs_val = [np.asarray(rng.choice(I, int(val_size))) for I in Is]
+    Xs_val_mat = jnp.asarray(np.stack(Xs_val, axis=1))
     ys_val = f(*[t[Xs_val].full() for t in tensors])
     if ys_val.ndim > 1:
         assert ys_val.ndim == 2
@@ -194,17 +247,10 @@ def cross(
 
     def evaluate_function(j):
         """Evaluate f on the Rs[j] x Rs[j+1] fibers of size Is[j] (device einsum)."""
-        Xs = []
-        for k, t in enumerate(tensors):
-            if t.cores[j].ndim == 3:  # TT core
-                V = jnp.einsum(
-                    "ai,ibj,jc->abc", t_linterfaces[k][j], t.cores[j], t_rinterfaces[k][j]
-                )
-            else:  # CP factor
-                V = jnp.einsum(
-                    "ai,bi,ic->abc", t_linterfaces[k][j], t.cores[j], t_rinterfaces[k][j]
-                )
-            Xs.append(V.reshape(-1))
+        Xs = [
+            _fibers(t_linterfaces[k][j], t.cores[j], t_rinterfaces[k][j])
+            for k, t in enumerate(tensors)
+        ]
 
         eval_start = time.time()
         evaluation = f(*Xs)
@@ -259,64 +305,55 @@ def cross(
         # Left-to-right
         for j in range(N - 1):
             V = evaluate_function(j)
-            V = V.reshape(-1, Rs[j + 1])  # left unfolding
-            Q, _ = jnp.linalg.qr(V)
+            Q = _qr_q(V.reshape(-1, Rs[j + 1]))  # left unfolding
             Qh = np.asarray(Q)
             if _minimize:
                 local, _ = _rect_maxvol(Qh, maxK=Q.shape[1])
             else:
                 local, _ = _maxvol(Qh)
             # Interpolation: rows `local` become the identity
-            Vnew = jnp.linalg.solve(Q[local, :].T, Q.T).T
-            cores[j] = Vnew.reshape(Rs[j], Is[j], Rs[j + 1])
+            lj = jnp.asarray(local)
+            cores[j] = _interp(Q, lj).reshape(Rs[j], Is[j], Rs[j + 1])
             left_locals.append(local)
 
             # Map local to global indices
             local_r, local_i = np.unravel_index(local, [Rs[j], Is[j]])
             lsets[j + 1] = np.c_[lsets[j][local_r, :], local_i]
+            lr, li = jnp.asarray(local_r), jnp.asarray(local_i)
             for k, t in enumerate(tensors):
-                if t.cores[j].ndim == 3:
-                    t_linterfaces[k][j + 1] = jnp.einsum(
-                        "ai,iaj->aj", t_linterfaces[k][j][local_r, :], t.cores[j][:, local_i, :]
-                    )
-                else:
-                    t_linterfaces[k][j + 1] = jnp.einsum(
-                        "ai,ai->ai", t_linterfaces[k][j][local_r, :], t.cores[j][local_i, :]
-                    )
+                t_linterfaces[k][j + 1] = _lint_update(
+                    t_linterfaces[k][j], t.cores[j], lr, li
+                )
 
         # Right-to-left
         for j in range(N - 1, 0, -1):
             V = evaluate_function(j)
-            V = V.reshape(Rs[j], -1)  # right unfolding
-            Q, _ = jnp.linalg.qr(V.T)
+            Q = _qr_q(V.reshape(Rs[j], -1).T)  # right unfolding, transposed
             Qh = np.asarray(Q)
             if _minimize:
                 local, _ = _rect_maxvol(Qh, maxK=Q.shape[1])
             else:
                 local, _ = _maxvol(Qh)
-            Vnew = jnp.linalg.solve(Q[local, :].T, Q.T)
-            cores[j] = Vnew.reshape(Rs[j], Is[j], Rs[j + 1])
+            lj = jnp.asarray(local)
+            cores[j] = _interp(Q, lj).T.reshape(Rs[j], Is[j], Rs[j + 1])
 
             local_i, local_r = np.unravel_index(local, [Is[j], Rs[j + 1]])
             rsets[j - 1] = np.c_[local_i, rsets[j][local_r, :]]
+            li, lr = jnp.asarray(local_i), jnp.asarray(local_r)
             for k, t in enumerate(tensors):
-                if t.cores[j].ndim == 3:
-                    t_rinterfaces[k][j - 1] = jnp.einsum(
-                        "iaj,ja->ia", t.cores[j][:, local_i, :], t_rinterfaces[k][j][:, local_r]
-                    )
-                else:
-                    t_rinterfaces[k][j - 1] = jnp.einsum(
-                        "ai,ia->ia", t.cores[j][local_i, :], t_rinterfaces[k][j][:, local_r]
-                    )
+                t_rinterfaces[k][j - 1] = _rint_update(
+                    t.cores[j], t_rinterfaces[k][j], li, lr
+                )
 
         # Leave the first core ready
         V = evaluate_function(0)
         cores[0] = V
 
-        # Validation error
-        val_eps = float(
-            jnp.linalg.norm(ys_val - tn.Tensor(list(cores))[Xs_val].full()) / norm_ys_val
-        )
+        # Validation error (jitted TT evaluation at the validation coordinates)
+        from tntorch_tpu.parallel.mesh import tt_batch_forward
+
+        pred = jax.jit(tt_batch_forward)(list(cores), Xs_val_mat)
+        val_eps = float(jnp.linalg.norm(ys_val - pred) / norm_ys_val)
         info["val_epss"].append(val_eps)
         if val_eps < eps:
             converged = True

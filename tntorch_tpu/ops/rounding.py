@@ -133,7 +133,8 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int):
         # middle matrix S = F^T H (A = S S^T) — no SVD needed.
         A = F.T @ G[k] @ F
         _, V = jnp.linalg.eigh(A)  # ascending
-        r = min(rmax, A.shape[0])
+        rk = rmax if isinstance(rmax, int) else rmax[k - 1]
+        r = min(rk, A.shape[0])
         U = V[:, ::-1][:, :r]
         # X = F^{-T} U_r right-multiplies C_k; Y = U_r^T F^T = X^T Lk pushes
         # the middle factor into C_{k+1}

@@ -1147,6 +1147,22 @@ class Tensor:
             rmax = [rmax] * (N - 1)
         assert len(rmax) == N - 1
 
+        if algorithm == "gram":
+            # Fixed-rank fast path: single jitted XLA program, all-matmul
+            # (see ops/rounding.round_tt_gram). Requires explicit rmax.
+            if any(r is None for r in rmax):
+                raise ValueError("algorithm='gram' requires explicit rmax")
+            from tntorch_tpu.ops.rounding import round_tt_gram
+
+            self._cp_to_tt()
+            rt = tuple(int(r) for r in rmax)
+            if self.batch:
+                out = jax.vmap(lambda *cs: tuple(round_tt_gram(cs, rt)))(*self.cores)
+            else:
+                out = round_tt_gram(tuple(self.cores), rt)
+            self.cores = list(out)
+            return
+
         self._cp_to_tt()
         self.orthogonalize(N - 1)
         if self.batch:
