@@ -50,3 +50,28 @@ def test_tt_eval_dispatch():
     out = tn.tt_eval(t.cores, X)  # CPU -> XLA path
     gt = np.asarray(t.full())[tuple(np.asarray(X).T)]
     assert np.allclose(out, gt, atol=1e-10)
+
+
+def test_tt_svd_kernels():
+    from tntorch_tpu.ops.decomposition import tt_svd_gram, tt_svd_randomized
+
+    rng = np.random.default_rng(3)
+    # Low-rank ground truth: exact recovery at the true rank
+    gt = tn.randn(10, 11, 12, 13, ranks_tt=3, key=jax.random.key(2))
+    data = gt.full()
+    for alg in ("gram", "randomized"):
+        t = tn.Tensor(data, ranks_tt=3, algorithm=alg)
+        assert float(tn.relative_error(gt, t)) <= 1e-6, alg
+    # kernel API directly
+    cores = tt_svd_gram(data, 3)
+    assert [c.shape for c in cores] == [(1, 10, 3), (3, 11, 3), (3, 12, 3), (3, 13, 1)]
+    cores = tt_svd_randomized(data, 3, key=jax.random.key(0))
+    assert [c.shape for c in cores] == [(1, 10, 3), (3, 11, 3), (3, 12, 3), (3, 13, 1)]
+
+
+def test_tt_svd_gram_batch():
+    xb = np.random.rand(3, 8, 9, 10)
+    tb = tn.Tensor(jnp.asarray(xb), ranks_tt=4, algorithm="gram", batch=True)
+    for i in range(3):
+        ti = tn.Tensor(jnp.asarray(xb[i]), ranks_tt=4, algorithm="gram")
+        assert float(jnp.abs(tb.full()[i] - ti.full()).max()) <= 1e-10

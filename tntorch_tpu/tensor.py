@@ -153,6 +153,29 @@ class Tensor:
                 self._init_cp_als(
                     data, ranks_cp, ranks_tucker, max_iter, tol, verbose, algorithm
                 )
+            elif (
+                ranks_tt is not None
+                and ranks_tucker is None
+                and algorithm in ("gram", "randomized")
+            ):
+                # Direct jitted TT-SVD kernels (see ops/decomposition.py):
+                # fixed target ranks -> static shapes -> one XLA program
+                from tntorch_tpu.ops.decomposition import (
+                    _cap_ranks, _tt_svd_gram, tt_svd_randomized,
+                )
+
+                if batch:
+                    ranks = _cap_ranks(data.shape[1:], ranks_tt)
+                    self.cores = list(
+                        jax.vmap(lambda d: tuple(_tt_svd_gram(d, ranks)))(data)
+                    )
+                elif algorithm == "randomized":
+                    self.cores = tt_svd_randomized(data, ranks_tt)
+                else:
+                    self.cores = list(
+                        _tt_svd_gram(data, _cap_ranks(data.shape, ranks_tt))
+                    )
+                self.Us = [None] * self.dim()
             else:
                 self.cores = (
                     _full_rank_tt_batch(data) if batch else _full_rank_tt(data)

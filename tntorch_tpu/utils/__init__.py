@@ -22,7 +22,48 @@ import numpy as np
 
 logger = logging.getLogger("tntorch_tpu")
 
+# Persistent XLA compilation cache: tensor-network sweeps touch many small
+# unique shapes, and on remote-compile TPU setups first-time compilation
+# dominates wall time. Harmless on CPU; respects a user-set cache dir.
+try:
+    import os as _os
+
+    _plat = _os.environ.get("JAX_PLATFORMS", "")
+    if jax.config.jax_compilation_cache_dir is None and any(
+        p in _plat for p in ("tpu", "axon")
+    ):
+        _cache = _os.environ.get(
+            "TNTORCH_TPU_CACHE", _os.path.expanduser("~/.cache/tntorch_tpu_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover
+    pass
+
 _state = threading.local()
+
+
+class trace_annotation:
+    """Context manager adding a jax.profiler TraceAnnotation (no-op if the
+    profiler is unavailable). Used around the library's hot phases so traces
+    collected with jax.profiler show labelled spans."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._cm = None
+
+    def __enter__(self):
+        try:
+            self._cm = jax.profiler.TraceAnnotation(self.name)
+            self._cm.__enter__()
+        except Exception:
+            self._cm = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            return self._cm.__exit__(*exc)
+        return False
 
 
 def seed(s: int) -> None:
