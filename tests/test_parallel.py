@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(the distributed story the reference lacks; SURVEY.md section 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tntorch_tpu as tn
+from tntorch_tpu.parallel import (
+    make_mesh, replicate, shard_batch, shard_ranks, sharded_dot, sharded_norm,
+    tt_forward_sharded,
+)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@needs_8
+def test_sharded_dot_matches():
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    a = tn.randn(8, 8, 8, 8, ranks_tt=4)
+    b = tn.randn(8, 8, 8, 8, ranks_tt=4)
+    gt = float(tn.dot(a, b))
+    assert abs(float(sharded_dot(shard_ranks(a, mesh), shard_ranks(b, mesh))) - gt) <= 1e-8
+    assert abs(float(sharded_norm(shard_ranks(a, mesh))) - float(tn.norm(a))) <= 1e-8
+    assert abs(float(sharded_dot(replicate(a, mesh), replicate(b, mesh))) - gt) <= 1e-8
+
+
+@needs_8
+def test_shard_batch_roundtrip():
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    tb = tn.randn(16, 5, 5, 5, ranks_tt=3, batch=True)
+    tbs = shard_batch(tb, mesh)
+    assert np.allclose(tbs.numpy(), tb.numpy())
+    # arithmetic on sharded batch tensors still works
+    s = tbs + tbs
+    assert np.allclose(s.numpy(), 2 * tb.numpy())
+
+
+@needs_8
+def test_tt_forward_sharded():
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    a = tn.randn(8, 8, 8, 8, ranks_tt=4)
+    X = jnp.asarray(np.random.default_rng(0).integers(0, 8, (64, 4)), dtype=jnp.int32)
+    y = tt_forward_sharded(list(a.cores), X, mesh)
+    gt = a.numpy()[tuple(np.asarray(X).T)]
+    assert np.allclose(np.asarray(y), gt, atol=1e-8)
+
+
+@needs_8
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(3)
+
+
+def test_entry_forward():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256,)
+    assert np.isfinite(np.asarray(out)).all()

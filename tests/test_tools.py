@@ -114,3 +114,15 @@ def test_mask():
     gt = np.zeros((4, 4))
     gt[1, 2] = t.numpy()[1, 2]
     assert np.linalg.norm(r.numpy() - gt) <= 1e-8
+
+
+def test_convolve():
+    from scipy.signal import convolve as spconv
+
+    a = tn.rand([8, 9], ranks_tt=2)
+    b = tn.rand([4, 5], ranks_tt=2)
+    for mode in ("full", "same", "valid"):
+        c = tn.convolve(a, b, mode=mode, eps=1e-9, verbose=False)
+        gt = spconv(a.numpy(), b.numpy(), mode=mode)
+        assert c.shape == gt.shape
+        assert np.linalg.norm(c.numpy() - gt) / np.linalg.norm(gt) <= 1e-6, mode

@@ -14,7 +14,7 @@ from tntorch_tpu.round import *
 from tntorch_tpu.tools import *
 from tntorch_tpu.metrics import *
 from tntorch_tpu.maxvol import maxvol, rect_maxvol, py_maxvol, py_rect_maxvol
-from tntorch_tpu.cross import cross, cross_forward, minimum, maximum, argmin, argmax
+from tntorch_tpu.cross import cross, cross_forward, minimum, maximum, argmin, argmax, init_interfaces
 from tntorch_tpu.ops import *
 from tntorch_tpu.autodiff import optimize, dof
 from tntorch_tpu import automata
@@ -36,6 +36,8 @@ from tntorch_tpu.interpolation import (
     indices2features, empirical_marginals, gram_schmidt, lars_path, PCEInterpolator,
 )
 from tntorch_tpu.models import TTMatrix, CPMatrix, tt_multiply, cp_multiply
+from tntorch_tpu.models import matrix
+from tntorch_tpu import parallel
 from tntorch_tpu.ops.pallas_tt import tt_eval
 from tntorch_tpu.ops.rounding import round_tt_fixed, round_tt_gram, tt_full, tt_dot
 from tntorch_tpu.serialization import save, load

@@ -40,6 +40,12 @@ def _cap_ranks(shape, rmax) -> Tuple[int, ...]:
 
 @partial(jax.jit, static_argnums=(1, 3, 4))
 def _tt_svd_randomized(data, ranks, key, oversample: int = 8, n_iter: int = 1):
+    # TPU default matmul precision is bf16; Gram/sketch products need f32
+    with jax.default_matmul_precision("highest"):
+        return _tt_svd_randomized_body(data, ranks, key, oversample, n_iter)
+
+
+def _tt_svd_randomized_body(data, ranks, key, oversample, n_iter):
     shape = data.shape
     N = len(shape)
     dtype = data.dtype
@@ -81,6 +87,12 @@ def tt_svd_randomized(data, rmax, key=None, oversample: int = 8, n_iter: int = 1
 
 @partial(jax.jit, static_argnums=(1,))
 def _tt_svd_gram(data, ranks):
+    # TPU default matmul precision is bf16; Gram products need f32
+    with jax.default_matmul_precision("highest"):
+        return _tt_svd_gram_body(data, ranks)
+
+
+def _tt_svd_gram_body(data, ranks):
     shape = data.shape
     N = len(shape)
     cores = []

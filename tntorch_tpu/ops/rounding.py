@@ -47,6 +47,11 @@ def round_tt_fixed(cores: Sequence[jax.Array], rmax: int):
     rank-selection rule: ranks are fixed at min(rmax, full), never chosen
     from an error budget.
     """
+    with jax.default_matmul_precision("highest"):
+        return _round_tt_fixed_body(cores, rmax)
+
+
+def _round_tt_fixed_body(cores, rmax):
     cores = _left_orthogonalize_sweep(list(cores))
     N = len(cores)
     for mu in range(N - 1, 0, -1):
@@ -66,6 +71,11 @@ def round_tt_fixed(cores: Sequence[jax.Array], rmax: int):
 @jax.jit
 def tt_full(cores: Sequence[jax.Array]):
     """Jitted dense reconstruction of a pure TT (chain of batched matmuls)."""
+    with jax.default_matmul_precision("highest"):
+        return _tt_full_body(cores)
+
+
+def _tt_full_body(cores):
     factor = cores[0].reshape(-1, cores[0].shape[-1])
     shape = [c.shape[1] for c in cores]
     for c in cores[1:]:
@@ -76,6 +86,11 @@ def tt_full(cores: Sequence[jax.Array]):
 @jax.jit
 def tt_dot(cores1: Sequence[jax.Array], cores2: Sequence[jax.Array]):
     """Jitted TT-TT inner product (core-by-core Lprod chain as matmuls)."""
+    with jax.default_matmul_precision("highest"):
+        return _tt_dot_body(cores1, cores2)
+
+
+def _tt_dot_body(cores1, cores2):
     L = jnp.ones((cores2[0].shape[0], cores1[0].shape[0]), dtype=cores1[0].dtype)
     for c1, c2 in zip(cores1, cores2):
         Lc = jnp.einsum("sr,rai->sai", L, c1)
@@ -105,6 +120,11 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int):
     use for f32/bf16 performance mode; the QR path (round_tt_fixed) is the
     accuracy-first variant.
     """
+    with jax.default_matmul_precision("highest"):
+        return _round_tt_gram_body(cores, rmax)
+
+
+def _round_tt_gram_body(cores, rmax):
     cores = list(cores)
     N = len(cores)
     dtype = cores[0].dtype

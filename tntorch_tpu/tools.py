@@ -380,9 +380,13 @@ def convolve(t1, t2, mode: str = "full", **kwargs):
     )
 
     if mode == "same":
+        # Centered crop matching np.convolve (the reference starts at k//2,
+        # tools.py:639-641, which is off by one for even kernel sizes)
         for n in range(N):
-            k = min(t1.shape[n], t2.shape[n])
-            t12.cores[n] = t12.cores[n][:, k // 2 : k // 2 + max(t1.shape[n], t2.shape[n]), :]
+            out_len = max(t1.shape[n], t2.shape[n])
+            full_len = t1.shape[n] + t2.shape[n] - 1
+            start = (full_len - out_len) // 2
+            t12.cores[n] = t12.cores[n][:, start : start + out_len, :]
     elif mode == "valid":
         for n in range(N):
             k = min(t1.shape[n], t2.shape[n])
