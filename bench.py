@@ -17,6 +17,15 @@ import time
 import numpy as np
 
 
+def _maybe_enable_cache():
+    import jax
+
+    if jax.default_backend() != "cpu":
+        from tntorch_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+
+
 def bench_ours(cores_np, rmax, iters=20):
     import jax
     import jax.numpy as jnp
@@ -79,6 +88,7 @@ def bench_torch_cpu(cores_np, rmax, iters=3):
 
 
 def main():
+    _maybe_enable_cache()
     from tntorch_tpu.ops.rounding import round_tt_flops
 
     N, I, R_in, rmax = 4, 256, 128, 64

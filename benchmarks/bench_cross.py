@@ -18,8 +18,9 @@ import jax
 
 # Persistent compilation cache: cross-approximation sweeps touch many unique
 # shapes; first-run compiles dominate on remote-compile TPU setups.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp
 import numpy as np

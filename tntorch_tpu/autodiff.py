@@ -63,6 +63,7 @@ def optimize(
     print_freq: int = 500,
     verbose: bool = True,
     use_jit: bool = True,
+    block_iters: int = 1,
 ):
     """Iterative learning driver: optimizes the cores/factors of every input
     tensor flagged `requires_grad` against `loss_function`, in place.
@@ -73,6 +74,10 @@ def optimize(
     :param optimizer: an optax GradientTransformation (default optax.adam(1e-3),
         matching the reference's torch.optim.Adam default)
     :param use_jit: jit-compile the update step (requires a traceable loss)
+    :param block_iters: run this many update steps per device dispatch (a
+        jitted lax.scan). On accelerators with high host round-trip latency,
+        block_iters=32..128 removes the per-iteration sync; convergence is
+        then checked once per block on the block's loss history.
     """
     import optax
 
@@ -103,9 +108,20 @@ def optimize(
         p = optax.apply_updates(p, updates)
         return p, s, tl, losses
 
+    def block_step(p, s):
+        # K update steps in one XLA program: no host sync inside the block
+        def body(carry, _):
+            p, s = carry
+            p, s, tl, losses = step(p, s)
+            return (p, s), (tl, losses)
+
+        (p, s), (tls, losses) = jax.lax.scan(body, (p, s), None, length=block_iters)
+        return p, s, tls, losses
+
     if use_jit:
         try:
             step = jax.jit(step)
+            block_step = jax.jit(block_step)
         except Exception:
             pass
 
@@ -114,6 +130,43 @@ def optimize(
     start = time.time()
     it = 0
     loss_parts = None
+    while block_iters > 1:
+        # Blocked mode: fetch the whole block's loss history in one sync
+        try:
+            params, opt_state, tls, parts = block_step(params, opt_state)
+        except jax.errors.TracerArrayConversionError:
+            block_iters = 1
+            break
+        tls = np.asarray(tls)
+        losses_hist.extend(float(v) for v in tls)
+        loss_parts = [p[-1] for p in parts] if isinstance(parts, (tuple, list)) else [tls[-1]]
+        it += block_iters
+        if len(losses_hist) >= 3 and tol is not None:
+            l3, l2, l1 = losses_hist[-3], losses_hist[-2], losses_hist[-1]
+            delta = l1 - l2
+            if (l1 <= tol or 0 <= -delta / l1 <= tol) and l2 - l1 < l3 - l2:
+                converged = True
+                break
+        if it >= max_iter:
+            break
+        if verbose and it % max(print_freq, block_iters) < block_iters:
+            _print_status(it, max_iter, loss_parts, losses_hist, start)
+            print()
+    if block_iters > 1:
+        final = _set_params(tensors, params)
+        for t, tf in zip(tensors, final):
+            if isinstance(t, tn.Tensor) and t.requires_grad:
+                t.cores = tf.cores
+                t.Us = tf.Us
+        if verbose:
+            _print_status(it, max_iter, loss_parts, losses_hist, start)
+            print(
+                " <- converged (tol={})".format(tol)
+                if converged
+                else " <- max_iter was reached: {}".format(max_iter)
+            )
+        return losses_hist
+
     while True:
         try:
             params, opt_state, total_loss, loss_parts = step(params, opt_state)

@@ -85,6 +85,50 @@ def _broadcast(a: "Tensor", b: "Tensor"):
     return r1, r2
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("batch",))
+def _cp_als_iter(data, unfs, cores, batch=False):
+    """One CP-ALS sweep over all modes + relative-error check, jitted
+    (reference tensor.py:323-379, minus the eager per-op dispatch and with
+    the O(I^N) error check fused into the same XLA program)."""
+    N = len(cores)
+    R = cores[0].shape[-1]
+    dtype = data.dtype
+    bshape = data.shape[:1] if batch else ()
+    cores = list(cores)
+    grams = [jnp.swapaxes(c, -1, -2) @ c for c in cores]
+    for n in range(N):
+        khatri = jnp.ones(bshape + (1, R), dtype=dtype)
+        prod = jnp.ones(bshape + (R, R), dtype=dtype)
+        for m in range(N - 1, -1, -1):
+            if m != n:
+                prod = prod * grams[m]
+                khatri = jnp.einsum("...ir,...jr->...ijr", cores[m], khatri).reshape(
+                    bshape + (-1, R)
+                )
+        rhs = jnp.swapaxes(unfs[n] @ khatri, -1, -2)
+        # Least-squares via pinv (batched; TPU has no LAPACK gelsd)
+        sol = jnp.linalg.pinv(prod) @ rhs
+        cores[n] = jnp.swapaxes(sol, -1, -2)
+        grams[n] = jnp.swapaxes(cores[n], -1, -2) @ cores[n]
+
+    # Fused reconstruction error
+    kr = cores[0]
+    for m in range(1, N):
+        kr = jnp.einsum("...ir,...jr->...ijr", kr, cores[m]).reshape(bshape + (-1, R))
+    full = jnp.sum(kr, axis=-1).reshape(data.shape)
+    err = data - full
+    if batch:
+        num = jnp.sqrt(jnp.sum(err**2, axis=tuple(range(1, err.ndim))))
+        den = jnp.sqrt(jnp.sum(data**2, axis=tuple(range(1, data.ndim))))
+        rel = jnp.mean(num / den)
+    else:
+        rel = jnp.linalg.norm(err.reshape(-1)) / jnp.linalg.norm(data.reshape(-1))
+    return tuple(cores), rel
+
+
 class Tensor:
     """Unified TT / CP / Tucker / hybrid tensor-network container (JAX pytree)."""
 
@@ -246,47 +290,19 @@ class Tensor:
                 for sh in shp
             ]
 
-        if batch:
-            data_norm = jnp.sqrt(jnp.sum(data**2, axis=tuple(range(1, data.ndim))))
-        else:
-            data_norm = jnp.linalg.norm(data.reshape(-1))
-
-        grams = [None] + [
-            jnp.swapaxes(self.cores[n], -1, -2) @ self.cores[n] for n in range(1, N)
-        ]
-        kh_idx = "...ir,...jr->...ijr"
         errors = []
+        cores = tuple(self.cores)
+        # Mode unfoldings are constant across sweeps: compute once
+        unfs = tuple(tn.unfolding(data, n, batch) for n in range(N))
         for it in range(max_iter):
-            for n in range(N):
-                bshape = (data.shape[0],) if batch else ()
-                khatri = jnp.ones(bshape + (1, ranks_cp), dtype=dtype)
-                prod = jnp.ones(bshape + (ranks_cp, ranks_cp), dtype=dtype)
-                for m in range(N - 1, -1, -1):
-                    if m != n:
-                        prod = prod * grams[m]
-                        khatri = jnp.einsum(kh_idx, self.cores[m], khatri).reshape(
-                            bshape + (-1, ranks_cp)
-                        )
-                unf = tn.unfolding(data, n, batch)
-                rhs = jnp.swapaxes(unf @ khatri, -1, -2)
-                # Least-squares via pinv (batched; TPU has no LAPACK gelsd)
-                sol = jnp.linalg.pinv(prod) @ rhs
-                self.cores[n] = jnp.swapaxes(sol, -1, -2)
-                grams[n] = jnp.swapaxes(self.cores[n], -1, -2) @ self.cores[n]
-
-            approx = Tensor(list(self.cores), batch=batch).full()
-            err = data - approx
-            if batch:
-                rel = jnp.mean(
-                    jnp.sqrt(jnp.sum(err**2, axis=tuple(range(1, err.ndim)))) / data_norm
-                )
-            else:
-                rel = jnp.linalg.norm(err.reshape(-1)) / data_norm
+            # One full ALS sweep + error check as a single jitted XLA program
+            cores, rel = _cp_als_iter(data, unfs, cores, batch)
             errors.append(float(rel))
             if verbose:
                 print(f"iter: {it} | eps: {errors[-1]:.8f}")
             if len(errors) >= 2 and errors[-2] - errors[-1] < tol:
                 break
+        self.cores = list(cores)
 
     # ------------------------------------------------------------------
     # Arithmetic (reference tensor.py:445-830)

@@ -22,24 +22,6 @@ import numpy as np
 
 logger = logging.getLogger("tntorch_tpu")
 
-# Persistent XLA compilation cache: tensor-network sweeps touch many small
-# unique shapes, and on remote-compile TPU setups first-time compilation
-# dominates wall time. Harmless on CPU; respects a user-set cache dir.
-try:
-    import os as _os
-
-    _plat = _os.environ.get("JAX_PLATFORMS", "")
-    if jax.config.jax_compilation_cache_dir is None and any(
-        p in _plat for p in ("tpu", "axon")
-    ):
-        _cache = _os.environ.get(
-            "TNTORCH_TPU_CACHE", _os.path.expanduser("~/.cache/tntorch_tpu_xla")
-        )
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover
-    pass
-
 _state = threading.local()
 
 
@@ -64,6 +46,19 @@ class trace_annotation:
         if self._cm is not None:
             return self._cm.__exit__(*exc)
         return False
+
+
+def enable_compilation_cache(path=None):
+    """Enable JAX's persistent compilation cache (recommended on TPU, where
+    first-time compilation of the many small shapes dominates; do NOT share
+    the cache directory across heterogeneous CPU hosts)."""
+    import os
+
+    path = path or os.environ.get(
+        "TNTORCH_TPU_CACHE", os.path.expanduser("~/.cache/tntorch_tpu_xla")
+    )
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def seed(s: int) -> None:
