@@ -84,6 +84,16 @@ def test_sample():
     assert (np.asarray(Xs) < np.array([5, 6, 7])).all()
 
 
+def test_sample_distribution():
+    # On-device sampler reproduces a known product PMF
+    probs = np.array([0.1, 0.6, 0.3])
+    t = tn.Tensor(np.outer(probs, probs).reshape(3, 3))
+    Xs = np.asarray(tn.sample(t, P=20000, seed=0))
+    for col in range(2):
+        emp = np.bincount(Xs[:, col], minlength=3) / 20000
+        assert np.abs(emp - probs).max() < 0.02
+
+
 def test_hash():
     t = tn.rand([5, 6, 7], ranks_tt=2)
     h1 = tn.hash(t)

@@ -72,6 +72,11 @@ def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
 @jax.jit
 def _rchain(cores_tail, idx):
     """Right interface chain: contract cores j+1..N-1 at the index rows."""
+    with jax.default_matmul_precision("highest"):
+        return _rchain_body(cores_tail, idx)
+
+
+def _rchain_body(cores_tail, idx):
     P = idx.shape[0]
     M = jnp.ones((cores_tail[-1].shape[-1], P), dtype=cores_tail[-1].dtype)
     for n in range(len(cores_tail) - 1, -1, -1):
@@ -86,6 +91,11 @@ def _rchain(cores_tail, idx):
 @jax.jit
 def _fibers(lint, core, rint):
     """Evaluate the (Rl x I x Rr) fiber tensor of one input TT/CP core."""
+    with jax.default_matmul_precision("highest"):
+        return _fibers_body(lint, core, rint)
+
+
+def _fibers_body(lint, core, rint):
     if core.ndim == 3:
         V = jnp.einsum("ai,ibj,jc->abc", lint, core, rint)
     else:
@@ -101,21 +111,24 @@ def _qr_q(V):
 @jax.jit
 def _interp(Q, local):
     """Interpolation core: rows `local` become the identity."""
-    return jnp.linalg.solve(Q[local, :].T, Q.T).T
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.solve(Q[local, :].T, Q.T).T
 
 
 @jax.jit
 def _lint_update(lint, core, local_r, local_i):
-    if core.ndim == 3:
-        return jnp.einsum("ai,iaj->aj", lint[local_r, :], core[:, local_i, :])
-    return jnp.einsum("ai,ai->ai", lint[local_r, :], core[local_i, :])
+    with jax.default_matmul_precision("highest"):
+        if core.ndim == 3:
+            return jnp.einsum("ai,iaj->aj", lint[local_r, :], core[:, local_i, :])
+        return jnp.einsum("ai,ai->ai", lint[local_r, :], core[local_i, :])
 
 
 @jax.jit
 def _rint_update(core, rint, local_i, local_r):
-    if core.ndim == 3:
-        return jnp.einsum("iaj,ja->ia", core[:, local_i, :], rint[:, local_r])
-    return jnp.einsum("ai,ia->ia", core[local_i, :], rint[:, local_r])
+    with jax.default_matmul_precision("highest"):
+        if core.ndim == 3:
+            return jnp.einsum("iaj,ja->ia", core[:, local_i, :], rint[:, local_r])
+        return jnp.einsum("ai,ia->ia", core[local_i, :], rint[:, local_r])
 
 
 def init_interfaces(tensors, rsets, N):

@@ -110,7 +110,7 @@ def tt_batch_forward(cores, X):
     v = jnp.ones((B, cores[0].shape[0]), dtype=cores[0].dtype)
     for k, core in enumerate(cores):
         G = core[:, X[:, k], :]  # (Rl, B, Rr)
-        v = jnp.einsum("br,rbs->bs", v, G)
+        v = jnp.einsum("br,rbs->bs", v, G, precision=jax.lax.Precision.HIGHEST)
     return v[:, 0]
 
 

@@ -231,38 +231,46 @@ def mask(t, mask):
     return t * m
 
 
-def sample(t, P: int = 1, seed=None):
-    """Draw P integer points from the tensor viewed as an (unnormalized) PMF
-    via sequential conditionals (reference tools.py:362-407). Host-side."""
+from functools import partial as _partial
 
-    def from_matrix(M):
-        M = np.abs(M)
-        M = M / np.sum(M, axis=1)[:, None]
-        M = np.hstack([np.zeros([M.shape[0], 1]), M])
-        M = np.cumsum(M, axis=1)
-        thresh = rng.random(M.shape[0])
-        M = M - thresh[:, np.newaxis]
-        shiftand = np.logical_and(M[:, :-1] <= 0, M[:, 1:] > 0)
-        return np.where(shiftand)[1]
 
-    rng = np.random.default_rng(seed=seed)
-    N = t.dim()
-    tsum = tn.sum(t, dim=np.arange(N), keepdim=True).decompress_tucker_factors()
-    Xs = np.zeros([P, N], dtype=np.int64)
-    rights = [np.ones(1)]
-    for core in tsum.cores[::-1]:
-        rights.append(np.asarray(jnp.sum(core, axis=1)) @ rights[-1])
+@_partial(jax.jit, static_argnums=(2,))
+def _sample_kernel(cores, key, P):
+    """Sequential-conditional sampling from a TT PMF, fully on device
+    (one XLA program): per mode, marginalize the suffix with a right-product
+    chain, form the P conditional PMFs as a matmul, and invert the CDFs."""
+    N = len(cores)
+    rights = [jnp.ones((1,), dtype=cores[0].dtype)]
+    for core in cores[::-1]:
+        rights.append(jnp.sum(core, axis=1) @ rights[-1])
     rights = rights[::-1]
-    lefts = np.ones([P, 1])
-    t = t.decompress_tucker_factors()
-    for mu in range(t.dim()):
-        core = np.asarray(t.cores[mu])
-        fiber = np.einsum("ijk,k->ij", core, rights[mu + 1])
-        per_point = lefts @ fiber
-        rows = from_matrix(per_point)
-        Xs[:, mu] = rows
-        lefts = np.einsum("ij,jik->ik", lefts, core[:, rows, :])
-    return jnp.asarray(Xs)
+    keys = jax.random.split(key, N)
+    lefts = jnp.ones((P, 1), dtype=cores[0].dtype)
+    Xs = []
+    for mu, core in enumerate(cores):
+        fiber = jnp.einsum("ijk,k->ij", core, rights[mu + 1])
+        per_point = lefts @ fiber  # (P, I)
+        p = jnp.abs(per_point)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        cdf = jnp.cumsum(p, axis=1)
+        u = jax.random.uniform(keys[mu], (P, 1), dtype=p.dtype)
+        rows = jnp.minimum(jnp.sum(cdf < u, axis=1), core.shape[1] - 1)
+        Xs.append(rows)
+        lefts = jnp.einsum("ij,jik->ik", lefts, core[:, rows, :])
+    return jnp.stack(Xs, axis=1)
+
+
+def sample(t, P: int = 1, seed=None):
+    """Draw P integer points (with replacement) from the tensor viewed as an
+    unnormalized PMF (reference tools.py:362-407). Unlike the reference's
+    host-side NumPy loop, the whole sequential-conditional sampler (PRNG
+    included) runs on device as one jitted program."""
+    import tntorch_tpu.utils as utils
+
+    key = jax.random.key(seed) if seed is not None else utils.next_key()
+    t2 = t.decompress_tucker_factors()
+    t2._cp_to_tt()
+    return _sample_kernel(tuple(t2.cores), key, int(P))
 
 
 def hash(t):
