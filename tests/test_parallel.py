@@ -62,3 +62,17 @@ def test_entry_forward():
     out = jax.jit(fn)(*args)
     assert out.shape == (256,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_8
+def test_fiber_parallel_cross():
+    import jax.numpy as jnp
+
+    mesh = make_mesh((8,), ("dp",))
+    domain = [jnp.linspace(1, 16, 16)] * 4
+    h = tn.cross(
+        function=lambda a, b, c, d: 1.0 / (a + b + c + d),
+        domain=domain, eps=1e-6, verbose=False, seed=0, mesh=mesh,
+    )
+    gt = 1.0 / sum(jnp.meshgrid(*domain, indexing="ij"))
+    assert float(tn.relative_error(tn.Tensor(gt), h)) <= 1e-6

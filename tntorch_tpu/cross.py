@@ -169,12 +169,18 @@ def cross(
     suppress_warnings: bool = False,
     detach_evaluations: bool = False,
     seed: Optional[int] = None,
+    mesh=None,
 ):
     """Sample a black-box function on fibers chosen by maxvol pivoting and
     return an N-dimensional TT approximation (reference cross.py:138-529).
 
     Accepts either a `domain` (list of N grid vectors) with a function
     R^N -> R, or a list of K equal-shaped tensors with a function R^K -> R.
+
+    :param mesh: optional jax.sharding.Mesh — the per-step fiber evaluations
+        (embarrassingly parallel across the Rs[j] x I x Rs[j+1] sample points,
+        SURVEY.md section 2c) are sharded over the mesh's first axis before
+        calling `function`.
     """
     rng = np.random.default_rng(seed)
 
@@ -258,12 +264,23 @@ def cross(
         info["sample_positions"] = np.zeros((0, N))
         info["sample_values"] = np.zeros(0)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _fiber_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        _n_shards = mesh.devices.shape[0]
+    else:
+        _fiber_sharding = None
+
     def evaluate_function(j):
         """Evaluate f on the Rs[j] x Rs[j+1] fibers of size Is[j] (device einsum)."""
         Xs = [
             _fibers(t_linterfaces[k][j], t.cores[j], t_rinterfaces[k][j])
             for k, t in enumerate(tensors)
         ]
+        if _fiber_sharding is not None and Xs[0].shape[0] % _n_shards == 0:
+            # Fiber-parallel: spread the independent sample points over devices
+            Xs = [jax.device_put(x, _fiber_sharding) for x in Xs]
 
         eval_start = time.time()
         evaluation = f(*Xs)

@@ -39,6 +39,9 @@ def _left_orthogonalize_sweep(cores):
     return cores
 
 
+left_orthogonalize_sweep = jax.jit(_left_orthogonalize_sweep)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def round_tt_fixed(cores: Sequence[jax.Array], rmax: int):
     """Round a TT (tuple of 3D cores) to rank <= rmax. Fully on-device.

@@ -1127,6 +1127,18 @@ class Tensor:
         dtype = self.cores[0].dtype
         L = jnp.ones(bshape + (1, 1), dtype=dtype)
         R = jnp.ones(bshape + (1, 1), dtype=dtype)
+        if (
+            mu == self.dim() - 1
+            and not self.batch
+            and all(U is None for U in self.Us)
+            and not jnp.iscomplexobj(self.cores[0])
+        ):
+            # Pure-TT full left-orthogonalization: one jitted XLA program
+            # instead of an eager QR dispatch per mode
+            from tntorch_tpu.ops.rounding import left_orthogonalize_sweep
+
+            self.cores = list(left_orthogonalize_sweep(tuple(self.cores)))
+            return R, L
         for i in range(mu):
             R = self.left_orthogonalize(i)
         for i in range(self.dim() - 1, mu, -1):
