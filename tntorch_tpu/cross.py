@@ -7,8 +7,12 @@ Tyrtyshnikov 2009; Savostyanov & Oseledets 2011). TPU-oriented layout:
   runs on device; for `tensors=` mode with a jnp-traceable function the whole
   evaluation stays on the accelerator;
 - QR factorizations of the unfoldings run on device;
-- maxvol pivoting (sequential argmax + rank-1 updates on an (R*I) x R
-  matrix) runs on host, exactly as the reference does (cross.py:400-402).
+- maxvol pivoting runs ON DEVICE as a lax.while_loop (LU pivots + argmax +
+  rank-1 updates), and the index bookkeeping stays in device arrays, so a
+  sweep step costs ZERO host round trips; NaN guards and the convergence
+  check sync once per iteration. (The reference ships every Q to the CPU,
+  cross.py:400-402. The host/native-C++ maxvol remains for the rect_maxvol
+  minimize path and as a public API.)
 """
 
 from __future__ import annotations
@@ -24,6 +28,7 @@ import numpy as np
 
 import tntorch_tpu as tn
 from tntorch_tpu.maxvol import maxvol as _maxvol
+from tntorch_tpu.maxvol import maxvol_device as _maxvol_dev
 from tntorch_tpu.maxvol import rect_maxvol as _rect_maxvol
 from tntorch_tpu.utils import asarray
 
@@ -308,16 +313,22 @@ def cross(
 
         if evaluation.ndim == 2:
             evaluation = evaluation[:, 0]
-        bad = ~np.isfinite(np.asarray(evaluation))
-        if bad.any():
-            invalid = int(np.nonzero(bad)[0][0])
-            raise ValueError(
-                "Invalid return value for function {}: f({}) = {}".format(
-                    function,
-                    ", ".join("{:g}".format(float(x[invalid])) for x in Xs),
-                    float(np.asarray(evaluation)[invalid]),
+        if _minimize or record_samples:
+            # Immediate detailed NaN/Inf check (these paths sync anyway)
+            bad = ~np.isfinite(np.asarray(evaluation))
+            if bad.any():
+                invalid = int(np.nonzero(bad)[0][0])
+                raise ValueError(
+                    "Invalid return value for function {}: f({}) = {}".format(
+                        function,
+                        ", ".join("{:g}".format(float(x[invalid])) for x in Xs),
+                        float(np.asarray(evaluation)[invalid]),
+                    )
                 )
-            )
+        else:
+            # Deferred guard: checked once per iteration with the validation
+            # sync, so the sweep itself needs zero host round trips
+            finite_flags.append(jnp.isfinite(evaluation).all())
 
         V = evaluation.reshape(Rs[j], Is[j], Rs[j + 1])
         info["nsamples"] += V.size
@@ -325,6 +336,9 @@ def cross(
 
     val_eps = np.inf
     left_locals = []
+    finite_flags = []
+    if not _minimize:
+        lsets[0] = jnp.zeros((1, 1), dtype=jnp.int32)
     for i in range(max_iter):
         if verbose:
             print("iter: {: <{}}".format(i, len("{}".format(max_iter)) + 1), end="")
@@ -336,20 +350,28 @@ def cross(
         for j in range(N - 1):
             V = evaluate_function(j)
             Q = _qr_q(V.reshape(-1, Rs[j + 1]))  # left unfolding
-            Qh = np.asarray(Q)
             if _minimize:
-                local, _ = _rect_maxvol(Qh, maxK=Q.shape[1])
+                local, _ = _rect_maxvol(np.asarray(Q), maxK=Q.shape[1])
+                lj = jnp.asarray(local)
+                local_r, local_i = np.unravel_index(local, [Rs[j], Is[j]])
+                lsets[j + 1] = np.c_[lsets[j][local_r, :], local_i]
+                lr, li = jnp.asarray(local_r), jnp.asarray(local_i)
+            elif Q.shape[0] <= Q.shape[1]:
+                lj = jnp.arange(Q.shape[0], dtype=jnp.int32)
+                lr, li = lj // Is[j], lj % Is[j]
+                lsets[j + 1] = jnp.concatenate(
+                    [lsets[j][lr], li[:, None].astype(jnp.int32)], axis=1
+                )
             else:
-                local, _ = _maxvol(Qh)
+                # Fully on-device pivoting: zero host round trips per step
+                lj, _ = _maxvol_dev(Q)
+                lr, li = lj // Is[j], lj % Is[j]
+                lsets[j + 1] = jnp.concatenate(
+                    [lsets[j][lr], li[:, None].astype(jnp.int32)], axis=1
+                )
             # Interpolation: rows `local` become the identity
-            lj = jnp.asarray(local)
             cores[j] = _interp(Q, lj).reshape(Rs[j], Is[j], Rs[j + 1])
-            left_locals.append(local)
-
-            # Map local to global indices
-            local_r, local_i = np.unravel_index(local, [Rs[j], Is[j]])
-            lsets[j + 1] = np.c_[lsets[j][local_r, :], local_i]
-            lr, li = jnp.asarray(local_r), jnp.asarray(local_i)
+            left_locals.append(lj)
             for k, t in enumerate(tensors):
                 t_linterfaces[k][j + 1] = _lint_update(
                     t_linterfaces[k][j], t.cores[j], lr, li
@@ -359,17 +381,25 @@ def cross(
         for j in range(N - 1, 0, -1):
             V = evaluate_function(j)
             Q = _qr_q(V.reshape(Rs[j], -1).T)  # right unfolding, transposed
-            Qh = np.asarray(Q)
             if _minimize:
-                local, _ = _rect_maxvol(Qh, maxK=Q.shape[1])
+                local, _ = _rect_maxvol(np.asarray(Q), maxK=Q.shape[1])
+                lj = jnp.asarray(local)
+                local_i, local_r = np.unravel_index(local, [Is[j], Rs[j + 1]])
+                rsets[j - 1] = np.c_[local_i, rsets[j][local_r, :]]
+                li, lr = jnp.asarray(local_i), jnp.asarray(local_r)
+            elif Q.shape[0] <= Q.shape[1]:
+                lj = jnp.arange(Q.shape[0], dtype=jnp.int32)
+                li, lr = lj // Rs[j + 1], lj % Rs[j + 1]
+                rsets[j - 1] = jnp.concatenate(
+                    [li[:, None].astype(jnp.int32), jnp.asarray(rsets[j])[lr]], axis=1
+                )
             else:
-                local, _ = _maxvol(Qh)
-            lj = jnp.asarray(local)
+                lj, _ = _maxvol_dev(Q)
+                li, lr = lj // Rs[j + 1], lj % Rs[j + 1]
+                rsets[j - 1] = jnp.concatenate(
+                    [li[:, None].astype(jnp.int32), jnp.asarray(rsets[j])[lr]], axis=1
+                )
             cores[j] = _interp(Q, lj).T.reshape(Rs[j], Is[j], Rs[j + 1])
-
-            local_i, local_r = np.unravel_index(local, [Is[j], Rs[j + 1]])
-            rsets[j - 1] = np.c_[local_i, rsets[j][local_r, :]]
-            li, lr = jnp.asarray(local_i), jnp.asarray(local_r)
             for k, t in enumerate(tensors):
                 t_rinterfaces[k][j - 1] = _rint_update(
                     t.cores[j], t_rinterfaces[k][j], li, lr
@@ -384,6 +414,13 @@ def cross(
 
         pred = jax.jit(tt_batch_forward)(list(cores), Xs_val_mat)
         val_eps = float(jnp.linalg.norm(ys_val - pred) / norm_ys_val)
+        if finite_flags:
+            if not bool(jnp.stack(finite_flags).all()):
+                raise ValueError(
+                    "Invalid return value (NaN/Inf) from function {} during "
+                    "cross-approximation".format(function)
+                )
+            finite_flags.clear()
         info["val_epss"].append(val_eps)
         if val_eps < eps:
             converged = True

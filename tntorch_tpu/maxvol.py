@@ -130,3 +130,49 @@ def rect_maxvol(
 # Aliases kept for reference-API parity (tntorch exposes py_* names)
 py_maxvol = maxvol
 py_rect_maxvol = rect_maxvol
+
+
+def _maxvol_device_impl(A, tol, max_iters):
+    import jax
+    import jax.numpy as jnp
+
+    n, r = A.shape
+    # Initial pivots from a partially pivoted LU (XLA kernel)
+    _, _, perm = jax.lax.linalg.lu(A)
+    idx0 = perm[:r]
+    S = A[idx0]
+    C = jnp.linalg.solve(S.T, A.T).T  # (n, r)
+
+    def cond(state):
+        C, idx, it = state
+        return jnp.logical_and(it < max_iters, jnp.max(jnp.abs(C)) > tol)
+
+    def body(state):
+        C, idx, it = state
+        flat = jnp.argmax(jnp.abs(C))
+        i, j = flat // r, flat % r
+        col = C[:, j]
+        row = C[i].at[j].add(-1.0)
+        C = C - jnp.outer(col / C[i, j], row)
+        idx = idx.at[j].set(i.astype(idx.dtype))
+        return C, idx, it + 1
+
+    C, idx, _ = jax.lax.while_loop(cond, body, (C, idx0, 0))
+    return idx.astype(jnp.int32), C
+
+
+def maxvol_device(A, tol: float = 1.05, max_iters: int = 100):
+    """Fully on-device maxvol: LU pivots + argmax/rank-1-update iteration as a
+    lax.while_loop. Returns (row_indices [r], C) as device arrays — no host
+    sync, so a cross-approximation sweep step costs zero round trips.
+
+    For n <= r the caller should not invoke this (identity case)."""
+    global _maxvol_device_jit
+    if _maxvol_device_jit is None:
+        import jax
+
+        _maxvol_device_jit = jax.jit(_maxvol_device_impl, static_argnums=(2,))
+    return _maxvol_device_jit(A, float(tol), int(max_iters))
+
+
+_maxvol_device_jit = None
