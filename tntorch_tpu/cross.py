@@ -27,10 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.maxvol import maxvol as _maxvol
 from tntorch_tpu.maxvol import maxvol_device as _maxvol_dev
 from tntorch_tpu.maxvol import rect_maxvol as _rect_maxvol
-from tntorch_tpu.utils import asarray
 
 
 def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):

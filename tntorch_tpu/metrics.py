@@ -7,7 +7,6 @@ jit); all other metrics ride on it or on `ttm` rank-1 contractions.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

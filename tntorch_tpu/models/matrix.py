@@ -12,8 +12,6 @@ einsums: under jit they lower to MXU-shaped dot-generals.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,7 @@ per (shape, ranks) bucket.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # Pallas requires a TPU-capable jaxlib; guard for portability
     from jax.experimental import pallas as pl

@@ -14,8 +14,6 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-import tntorch_tpu as tn
-
 
 def round_tt(t, **kwargs):
     """Copy-and-round via Tensor.round_tt (reference round.py:7-19)."""

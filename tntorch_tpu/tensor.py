@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.utils import asarray, default_dtype, is_scalar, to_numpy
+from tntorch_tpu.utils import asarray, to_numpy
 
 
 def _full_rank_tt(data: jax.Array) -> list:

@@ -6,14 +6,12 @@ Behavioral reference: /root/reference/tntorch/tools.py:14-698.
 from __future__ import annotations
 
 import time
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.utils import asarray, default_dtype, to_numpy
+from tntorch_tpu.utils import asarray, default_dtype
 
 """
 Array-like manipulations
