@@ -76,3 +76,17 @@ def test_fiber_parallel_cross():
     )
     gt = 1.0 / sum(jnp.meshgrid(*domain, indexing="ij"))
     assert float(tn.relative_error(tn.Tensor(gt), h)) <= 1e-6
+
+
+@needs_8
+def test_tt_forward_shard_map():
+    from tntorch_tpu.parallel import tt_forward_shard_map
+    from tntorch_tpu.parallel.mesh import tt_batch_forward
+
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    for N in (4, 5):
+        t = tn.randn(*([8] * N), ranks_tt=4)
+        X = jnp.asarray(np.random.default_rng(0).integers(0, 8, (64, N)), dtype=jnp.int32)
+        gt = tt_batch_forward(list(t.cores), X)
+        y = tt_forward_shard_map(list(t.cores), X, mesh)
+        assert float(jnp.abs(y - gt).max()) <= 1e-10

@@ -25,4 +25,5 @@ from tntorch_tpu.parallel.mesh import (
     sharded_norm,
     tt_batch_forward,
     tt_forward_sharded,
+    tt_forward_shard_map,
 )
