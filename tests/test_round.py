@@ -98,3 +98,17 @@ def test_round_combined():
     t = tn.Tensor(x)
     t.round(1e-8)
     assert np.linalg.norm(t.numpy() - x) / np.linalg.norm(x) <= 1e-7
+
+
+def test_round_tt_eps_jit_matches_svd():
+    # The adaptive-eps jitted path (algorithm='eig' on pure TT) must pick the
+    # same ranks as the eager SVD path and respect the error bound
+    for i in range(8):
+        eps = 10 ** np.random.uniform(-6, -1)
+        gt = tn.rand([10] * 5, ranks_tt=5)
+        t1 = gt.clone()
+        t1.round_tt(eps, algorithm="eig")
+        t2 = gt.clone()
+        t2.round_tt(eps, algorithm="svd")
+        assert list(t1.ranks_tt) == list(t2.ranks_tt)
+        assert float(tn.relative_error(gt, t1)) <= eps * 1.01

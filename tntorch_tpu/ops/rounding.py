@@ -22,6 +22,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _left_orthogonalize_sweep(cores):
@@ -169,6 +170,66 @@ def _round_tt_gram_body(cores, rmax):
         # New left interface P~ U_r is orthonormal
         L = jnp.eye(r, dtype=dtype)
     return cores
+
+
+@jax.jit
+def _round_tt_eps_kernel(cores, eps, rmax_vec):
+    """Error-budgeted (adaptive-rank) TT rounding as ONE jitted program.
+
+    XLA needs static shapes, so truncation is a *masked projection*: each
+    edge keeps its padded rank but zeroes the discarded spectral directions,
+    and the data-dependent effective ranks come back as a small int vector —
+    the only host sync. The caller compacts the padded cores outside jit
+    (SURVEY.md hard part #1: padded-rank + mask discipline).
+
+    Rank rule matches the reference's reversed-cumsum criterion
+    (round.py:147-158) with delta = eps * |t| / sqrt(N-1) (tensor.py:2039);
+    spectra come from the Gram matrix like algorithm='eig'.
+    """
+    with jax.default_matmul_precision("highest"):
+        cores = _left_orthogonalize_sweep(list(cores))
+        N = len(cores)
+        dtype = cores[0].dtype
+        norm = jnp.linalg.norm(cores[-1].reshape(-1))
+        delta = eps / max(1.0, float(np.sqrt(N - 1))) * norm
+        effs = []
+        for mu in range(N - 1, 0, -1):
+            Rl, I, Rr = cores[mu].shape
+            M = cores[mu].reshape(Rl, I * Rr)
+            G = M @ M.T
+            w, V = jnp.linalg.eigh(G)  # ascending; w == sigma^2
+            w = jnp.maximum(w, 0.0)
+            k_discard = jnp.sum(jnp.cumsum(w) <= delta**2)
+            r = jnp.clip(Rl - k_discard, 1, rmax_vec[mu - 1])
+            mask = (jnp.arange(Rl) < r).astype(dtype)
+            U = V[:, ::-1] * mask[None, :]  # zero the discarded directions
+            s = jnp.sqrt(jnp.maximum(w[::-1], jnp.finfo(dtype).tiny))  # sigma, descending
+            # Keep the invariant of the RTL sweep: core_mu gets the
+            # row-orthonormal V^T (scale sigma pushed LEFT), so the next
+            # edge's Gram spectrum still measures the global error
+            cores[mu] = (((U.T @ M) / s[:, None]) * mask[:, None]).reshape(Rl, I, Rr)
+            prev = cores[mu - 1]
+            cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U * s[None, :])
+            effs.append(r)
+        return cores, jnp.stack(effs[::-1]).astype(jnp.int32)
+
+
+def round_tt_eps(cores, eps: float, rmax=None):
+    """Adaptive-rank TT rounding with a single device->host sync: run the
+    jitted masked-truncation kernel, then compact the padded cores to the
+    effective ranks on the host. Returns a list of compacted cores."""
+    cores = tuple(cores)
+    N = len(cores)
+    if rmax is None:
+        rmax = [np.iinfo(np.int32).max] * (N - 1)
+    elif not hasattr(rmax, "__len__"):
+        rmax = [rmax] * (N - 1)
+    rmax_vec = jnp.asarray(
+        [np.iinfo(np.int32).max if r is None else int(r) for r in rmax], dtype=jnp.int32
+    )
+    padded, effs = _round_tt_eps_kernel(cores, jnp.asarray(eps, cores[0].dtype), rmax_vec)
+    effs = [1] + [int(e) for e in np.asarray(effs)] + [1]  # the one sync
+    return [c[: effs[k], :, : effs[k + 1]] for k, c in enumerate(padded)]
 
 
 def round_tt_flops(shapes, rmax: int) -> float:

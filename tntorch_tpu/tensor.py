@@ -1198,6 +1198,20 @@ class Tensor:
             rmax = [rmax] * (N - 1)
         assert len(rmax) == N - 1
 
+        if (
+            algorithm == "eig"
+            and not self.batch
+            and all(U is None for U in self.Us)
+            and not jnp.iscomplexobj(self.cores[0])
+        ):
+            # Adaptive-eps fast path: masked truncation in ONE jitted program
+            # + a single host sync for the effective ranks
+            from tntorch_tpu.ops.rounding import round_tt_eps
+
+            self._cp_to_tt()
+            self.cores = round_tt_eps(tuple(self.cores), eps, rmax)
+            return
+
         if algorithm == "gram":
             # Fixed-rank fast path: single jitted XLA program, all-matmul
             # (see ops/rounding.round_tt_gram). Requires explicit rmax.
