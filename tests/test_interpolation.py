@@ -115,3 +115,11 @@ def test_save_load(tmp_path):
     tb2 = tn.load(pb)
     assert tb2.batch
     assert np.linalg.norm(tb2.numpy() - tb.numpy()) <= 1e-12
+
+
+def test_save_load_orbax(tmp_path):
+    t = tn.rand([5, 6, 7], ranks_tt=3, ranks_tucker=2)
+    p = str(tmp_path / "ckpt")
+    tn.save_orbax(t, p)
+    t2 = tn.load_orbax(p)
+    assert np.linalg.norm(t2.numpy() - t.numpy()) <= 1e-12

@@ -37,6 +37,51 @@ def save(t, path):
     np.savez(path, **arrays)
 
 
+def save_orbax(t, path):
+    """Serialize with orbax-checkpoint (directory format; useful for very
+    large tensors — sharded/async-friendly). Requires the orbax package."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "cores": {str(n): np.asarray(c) for n, c in enumerate(t.cores)},
+        "Us": {str(n): np.asarray(U) for n, U in enumerate(t.Us) if U is not None},
+        "idxs": {
+            str(n): np.asarray(i)
+            for n, i in enumerate(getattr(t, "idxs", []) or [])
+            if i is not None
+        },
+        "meta": {"n_cores": t.dim(), "batch": int(t.batch)},
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    import os
+
+    ckptr.save(os.path.abspath(str(path)), payload)
+
+
+def load_orbax(path):
+    """Load a tn.Tensor previously stored with `save_orbax`."""
+    import orbax.checkpoint as ocp
+    import os
+
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(os.path.abspath(str(path)))
+    N = int(payload["meta"]["n_cores"])
+    batch = bool(payload["meta"]["batch"])
+    cores = [jnp.asarray(payload["cores"][str(n)]) for n in range(N)]
+    Us = [
+        jnp.asarray(payload["Us"][str(n)]) if str(n) in payload.get("Us", {}) else None
+        for n in range(N)
+    ]
+    idxs_payload = payload.get("idxs", {}) or {}
+    idxs = [
+        np.asarray(idxs_payload[str(n)]) if str(n) in idxs_payload else None
+        for n in range(N + (1 if batch else 0))
+    ]
+    if not any(i is not None for i in idxs):
+        idxs = None
+    return tn.Tensor(cores, Us=Us, idxs=idxs, batch=batch)
+
+
 def load(path):
     """Load a tn.Tensor previously stored with `save`."""
     data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
