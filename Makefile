@@ -10,7 +10,7 @@ $(NATIVE): csrc/maxvol.cpp
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
 test:
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -q -n 4  # pytest-xdist; drop -n for serial
 
 bench:
 	python bench.py

@@ -44,6 +44,16 @@ def main():
     t = tn.Tensor(data, eps=1e-5)
     print("eps=1e-5 -> ranks", t.ranks_tt, "rel-err", float(tn.relative_error(full, t)))
 
+    # TPU-first fast paths: jitted direct decomposition kernels
+    t0 = time.time()
+    t = tn.Tensor(data, ranks_tt=3, algorithm="randomized")  # one XLA program
+    print("randomized TT-SVD: rel-err {:.2e} in {:.3f}s".format(
+        float(tn.relative_error(full, t)), time.time() - t0))
+    t0 = time.time()
+    u = t + t
+    u.round_tt(1e-8, algorithm="eig")  # adaptive-eps rounding, one jitted program
+    print("adaptive-eps round: ranks", u.ranks_tt, "in {:.3f}s".format(time.time() - t0))
+
 
 if __name__ == "__main__":
     main()
