@@ -10,7 +10,7 @@ $(NATIVE): csrc/maxvol.cpp
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
 test:
-	python -m pytest tests/ -q -n 4  # pytest-xdist; drop -n for serial
+	python -m pytest tests/ -q
 
 bench:
 	python bench.py
