@@ -205,3 +205,20 @@ def test_repr_and_counts():
     assert a.numel() == 300
     # cores: (1,2,3)+(3,2,3)+(3,2,1) = 30; Tucker factors: (10+5+6)*2 = 42
     assert a.numcoef() == 30 + 42
+
+
+def test_torch_interop_and_misc():
+    a = tn.rand((4, 5), ranks_tt=2)
+    tt = a.torch()  # PyTorch interop
+    import torch
+
+    assert isinstance(tt, torch.Tensor)
+    assert np.allclose(tt.numpy(), a.numpy())
+    assert a.size() == a.shape
+    b = tn.rand((3, 4, 5), ranks_tt=2, batch=True)
+    assert b.b() == 3
+    # construct from a torch tensor
+    c = tn.Tensor(torch.rand(4, 5, 6), ranks_tt=2)
+    assert c.shape == (4, 5, 6)
+    # repr of batch tensor
+    assert "batch" in repr(b)
