@@ -55,6 +55,18 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(3)
 
 
+@needs_8
+def test_dryrun_multichip_hermetic_subprocess():
+    """Regression for round-1 MULTICHIP fail: when the live process cannot
+    provide the requested CPU devices (here: 16 > 8, standing in for 'a
+    foreign platform is the default backend'), the dryrun must re-exec a
+    hermetic CPU-pinned subprocess rather than touch the default backend."""
+    import __graft_entry__ as ge
+
+    assert not ge._cpu_ready_in_process(16)
+    ge.dryrun_multichip(16)
+
+
 def test_entry_forward():
     import __graft_entry__ as ge
 

@@ -140,31 +140,36 @@ def tt_forward_shard_map(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str
     :param X: (B, N) int32, B divisible by the dp axis size
     :return: (B,) values, replicated over tp and sharded over dp
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     tp = mesh.shape[tp_axis]
     N = len(cores)
     for n, c in enumerate(cores[:-1]):
         assert c.shape[-1] % tp == 0, f"rank edge {n} not divisible by tp={tp}"
+    # Alternating layout: even cores column-sharded (output rank local),
+    # odd cores row-sharded (input rank local) -> psum after each odd core.
+    # Invariant: the FINAL core is never column-sharded — if its index is odd
+    # it is row-sharded and immediately psum'd; if even it is fully
+    # replicated (its right rank is the global R_N = 1 edge, which must not
+    # be split). jax's check_vma machinery verifies the resulting value is
+    # genuinely tp-invariant, replacing round-1's unchecked check_rep=False.
     specs = [P(*s) for s in [(None, None, tp_axis)] + [
         (tp_axis, None, None) if n % 2 == 1 else (None, None, tp_axis)
         for n in range(1, N - 1)
     ] + [(tp_axis, None, None) if (N - 1) % 2 == 1 else (None, None, None)]]
-    # Alternating layout: even cores column-sharded (output rank local),
-    # odd cores row-sharded (input rank local) -> psum after each odd core.
 
     def local_forward(X_local, *cores_local):
         B = X_local.shape[0]
+        N_loc = len(cores_local)
         v = jnp.ones((B, cores_local[0].shape[0]), dtype=cores_local[0].dtype)
         for k, core in enumerate(cores_local):
             G = core[:, X_local[:, k], :]
+            if k % 2 == 0 and k < N_loc - 1:
+                # column-sharded core: tp-invariant v meets a tp-varying shard
+                v = jax.lax.pvary(v, tp_axis)
             v = jnp.einsum("br,rbs->bs", v, G, precision=jax.lax.Precision.HIGHEST)
             if k % 2 == 1:  # row-sharded core: partial sums across tp shards
                 v = jax.lax.psum(v, tp_axis)
-        if (len(cores_local) - 1) % 2 == 0 and len(cores_local) > 1:
-            # ended on a column-sharded core whose last rank is the global
-            # R_N = 1 edge: only the tp=0 shard's slice is the true value
-            pass
         return v[:, 0]
 
     fn = shard_map(
@@ -172,6 +177,5 @@ def tt_forward_shard_map(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str
         mesh=mesh,
         in_specs=(P(dp_axis, None),) + tuple(specs),
         out_specs=P(dp_axis),
-        check_rep=False,
     )
     return fn(X, *cores)
