@@ -1,12 +1,20 @@
-"""Benchmark: TT-round throughput at n=256, r=64 (BASELINE.json north star).
+"""Benchmark: TT-round throughput at n=256, r=64 + cross-approximation
+(BASELINE.json north stars).
 
-Rounds a 4D TT with mode size 256 from rank 128 down to rank 64 — the
-canonical post-arithmetic recompression (e.g. after t+t) — using the jitted
-fixed-rank kernel (QR sweep + Gram-eigh truncation) on the default JAX
-device (the TPU chip under the driver). The baseline is the identical
-algorithm in PyTorch on all CPU cores, same precision, same FLOP formula.
+Headline metric: TT-round GFLOP/s — rounds a 4D TT with mode size 256 from
+rank 128 down to rank 64 (the canonical post-arithmetic recompression) using
+the jitted Gram kernel on the default JAX device (the TPU chip under the
+driver), vs the identical algorithm in PyTorch on all CPU cores.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The "extra" dict carries the other recorded north stars:
+- tt_round_batched_gflops: the same rounding vmapped over a batch of 32
+  (the throughput story; the single-stream number is dispatch-latency bound)
+- cross_hilbert_warm_s: warm wall time of the 5D Hilbert 32^5 eps=1e-6
+  TT-cross (reference CPU: ~0.10 s, cross.ipynb cell 1)
+- cross_evals_per_s (+ _vs_torch_cpu): f-evals/second of a fixed-rank
+  throughput cross config, vs the same sweep algorithm in PyTorch on CPU
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -26,28 +34,61 @@ def _maybe_enable_cache():
         enable_compilation_cache()
 
 
-def bench_ours(cores_np, rmax, iters=20):
+def _sync(out):
+    # Hard sync: fetch a host value (block_until_ready can ack early
+    # through the axon tunnel's async queue)
     import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.sum(leaves[0]).astype(jnp.float32))
+
+
+def bench_ours(cores_np, rmax, iters=20):
     import jax.numpy as jnp
 
     from tntorch_tpu.ops.rounding import round_tt_gram
 
     cores = tuple(jnp.asarray(c) for c in cores_np)
 
-    def sync(out):
-        # Hard sync: fetch a host value (block_until_ready can ack early
-        # through the axon tunnel's async queue)
-        return sum(float(jnp.sum(o)) for o in out)
-
     out = round_tt_gram(cores, rmax)  # warm-up (compile)
-    sync(out)
+    _sync(out)
     out = round_tt_gram(cores, rmax)  # warm-up (steady-state)
-    sync(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = round_tt_gram(cores, rmax)
-    sync(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters, out
+
+
+def bench_ours_batched(cores_np, rmax, B=32, iters=10):
+    """vmapped Gram rounding over a batch of B independent TTs — the
+    throughput number (single-stream is floored by dispatch latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tntorch_tpu.ops.rounding import _round_tt_gram_body
+
+    rng = np.random.default_rng(1)
+    bcores = tuple(
+        jnp.asarray(
+            np.stack([c] * B) * (1 + 0.01 * rng.standard_normal((B,) + c.shape)),
+            dtype=jnp.float32,
+        )
+        for c in cores_np
+    )
+    fn = jax.jit(
+        jax.vmap(lambda *cs: tuple(_round_tt_gram_body(list(cs), rmax))),
+        static_argnums=(),
+    )
+    out = fn(*bcores)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*bcores)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters / B
 
 
 def bench_torch_cpu(cores_np, rmax, iters=3):
@@ -87,6 +128,105 @@ def bench_torch_cpu(cores_np, rmax, iters=3):
     return (time.perf_counter() - t0) / iters, out
 
 
+# ---------------------------------------------------------------------------
+# Cross-approximation
+# ---------------------------------------------------------------------------
+
+_CROSS_N, _CROSS_I, _CROSS_R = 5, 256, 100
+
+
+def bench_cross_ours():
+    """(a) warm wall of the 5D Hilbert parity config; (b) evals/s of a
+    fixed-rank throughput config (N=5, I=256, r=100, 2 sweeps)."""
+    import jax.numpy as jnp
+
+    import tntorch_tpu as tn
+
+    d = [jnp.linspace(1, 32, 32, dtype=jnp.float32)] * 5
+
+    def fh(a, b, c, dd, e):
+        return 1.0 / (a + b + c + dd + e)
+
+    h = tn.cross(function=fh, domain=d, eps=1e-6, verbose=False, seed=7)
+    _sync(h.cores[0])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = tn.cross(function=fh, domain=d, eps=1e-6, verbose=False, seed=7)
+        _sync(h.cores[0])
+        times.append(time.perf_counter() - t0)
+    hilbert_s = min(times)
+
+    N, I, R = _CROSS_N, _CROSS_I, _CROSS_R
+    d2 = [jnp.linspace(1, I, I, dtype=jnp.float32)] * N
+    kw = dict(function=fh, domain=d2, ranks_tt=R, max_iter=2, verbose=False,
+              seed=0, suppress_warnings=True, return_info=True)
+    t2, info = tn.cross(**kw)
+    _sync(t2.cores[0])
+    t0 = time.perf_counter()
+    t2, info = tn.cross(**kw)
+    _sync(t2.cores[0])
+    wall = time.perf_counter() - t0
+    return hilbert_s, info["nsamples"] / wall
+
+
+def bench_cross_torch_cpu():
+    """The same fixed-rank cross sweeps in PyTorch on CPU: fiber einsum
+    evaluation + QR + maxvol pivoting + interpolation solve — the reference's
+    algorithm (cross.py:316-451) on its compute substrate."""
+    import torch
+
+    from tntorch_tpu.maxvol import maxvol as np_maxvol
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    N, I, R = _CROSS_N, _CROSS_I, _CROSS_R
+    xs = torch.linspace(1, I, I, dtype=torch.float32)
+    rng = np.random.default_rng(0)
+
+    def fh(args):  # (P, N) values -> (P,)
+        return 1.0 / args.sum(dim=1)
+
+    # meshgrid-tensor interfaces for rank-1 inputs reduce to value gathers:
+    # fiber (l, i, r) has coordinates [lset row l..., xs[i], rset row r...];
+    # evaluate f on the (Rl*I*Rr, N) coordinate matrix (reference
+    # cross.py:316-379 in its domain mode).
+    xs_np = xs.numpy()
+    lsets = [np.zeros((1, 1), dtype=np.int64)] + [None] * (N - 1)
+    rsets = [rng.integers(0, I, (R, N - 1 - n)) for n in range(N - 1)] + [
+        np.zeros((1, 0), dtype=np.int64)
+    ]
+    nsamples = 0
+    t0 = time.perf_counter()
+    for _ in range(2):  # 2 sweeps, like the jitted config
+        for j in range(N - 1):
+            Rl, Rr = lsets[j].shape[0], rsets[j].shape[0]
+            li, ii, ri = np.meshgrid(
+                np.arange(Rl), np.arange(I), np.arange(Rr), indexing="ij"
+            )
+            coords = np.concatenate(
+                [
+                    xs_np[lsets[j][:, 1:][li.ravel()]],
+                    xs_np[ii.ravel()][:, None],
+                    xs_np[rsets[j][ri.ravel()]],
+                ],
+                axis=1,
+            )
+            V = fh(torch.from_numpy(coords)).reshape(Rl * I, Rr)
+            nsamples += V.numel()
+            Q, _ = torch.linalg.qr(V)
+            if Q.shape[0] > Q.shape[1]:
+                local, _ = np_maxvol(Q.numpy())
+            else:
+                local = np.arange(Q.shape[0])
+            torch.linalg.solve(Q[local, :].T, Q.T)  # interpolation core
+            lr, li2 = local // I, local % I
+            lsets[j + 1] = np.c_[lsets[j][lr], li2]
+    # (the RTL half-sweep mirrors the LTR cost exactly, so the measured
+    # LTR-only rate is the full-sweep rate)
+    wall = time.perf_counter() - t0
+    return nsamples / wall
+
+
 def main():
     _maybe_enable_cache()
     from tntorch_tpu.ops.rounding import round_tt_flops
@@ -105,9 +245,27 @@ def main():
     t_ours, _ = bench_ours(cores_np, rmax)
     gflops_ours = flops / t_ours / 1e9
 
+    extra = {}
+    try:
+        t_batched = bench_ours_batched(cores_np, rmax)
+        extra["tt_round_batched_gflops"] = round(flops / t_batched / 1e9, 1)
+    except Exception as e:
+        print(f"# batched bench failed: {e}", file=sys.stderr)
+
+    try:
+        hilbert_s, evals_s = bench_cross_ours()
+        extra["cross_hilbert_warm_s"] = round(hilbert_s, 4)
+        extra["cross_evals_per_s"] = round(evals_s, 1)
+        try:
+            base_evals_s = bench_cross_torch_cpu()
+            extra["cross_evals_per_s_vs_torch_cpu"] = round(evals_s / base_evals_s, 2)
+        except Exception as e:
+            print(f"# cross torch baseline failed: {e}", file=sys.stderr)
+    except Exception as e:
+        print(f"# cross bench failed: {e}", file=sys.stderr)
+
     try:
         t_base, _ = bench_torch_cpu(cores_np, rmax)
-        gflops_base = flops / t_base / 1e9
         vs_baseline = t_base / t_ours
     except Exception as e:  # torch unavailable: report absolute only
         print(f"# baseline failed: {e}", file=sys.stderr)
@@ -120,6 +278,7 @@ def main():
                 "value": round(gflops_ours, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "extra": extra,
             }
         )
     )

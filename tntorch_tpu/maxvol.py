@@ -132,14 +132,41 @@ py_maxvol = maxvol
 py_rect_maxvol = rect_maxvol
 
 
+def _device_lu_pivots(A):
+    """First-r LU row pivots of a tall matrix, on device.
+
+    For very tall matrices a monolithic LU overflows TPU scoped VMEM
+    (LuDecompositionBlock stages the whole panel), so use tournament
+    pivoting (CALU, Grigori-Demmel-Xiang): LU each row block, then LU the
+    block winners. Pivot quality is equivalent for maxvol initialization.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, r = A.shape
+    chunk = max(r, (1 << 20) // max(r, 1))  # keep each LU block under VMEM
+    if n <= chunk:
+        _, _, perm = jax.lax.linalg.lu(A)
+        return perm[:r]
+    m = -(-n // chunk)
+    pad = m * chunk - n
+    Ap = jnp.pad(A, ((0, pad), (0, 0)))  # zero rows are never picked first
+    blocks = Ap.reshape(m, chunk, r)
+    # lax.map (not vmap): the batched LU custom-call stages every block in
+    # scoped VMEM at once; sequential blocks keep the footprint at one block
+    perms = jax.lax.map(lambda b: jax.lax.linalg.lu(b)[2], blocks)
+    cand = (perms[:, :r] + (jnp.arange(m) * chunk)[:, None]).reshape(-1)
+    _, _, perm2 = jax.lax.linalg.lu(Ap[cand])
+    return cand[perm2[:r]]
+
+
 def _maxvol_device_impl(A, tol, max_iters):
     import jax
     import jax.numpy as jnp
 
     n, r = A.shape
     # Initial pivots from a partially pivoted LU (XLA kernel)
-    _, _, perm = jax.lax.linalg.lu(A)
-    idx0 = perm[:r]
+    idx0 = _device_lu_pivots(A)
     S = A[idx0]
     C = jnp.linalg.solve(S.T, A.T).T  # (n, r)
 

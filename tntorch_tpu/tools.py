@@ -106,12 +106,23 @@ def meshgrid(*axes, batch: bool = False):
         else:
             axes[n] = asarray(axes[n], dtype=dtype)
 
+    # One jitted program builds all cores; the rank-1 "ones" cores are shared
+    # across the N output tensors (JAX arrays are immutable), so construction
+    # costs a single dispatch rather than N^2 eager ops.
+    ones_cores, val_cores = _meshgrid_cores(tuple(axes))
     tensors = []
     for n in range(N):
-        cores = [jnp.ones((1, len(ax), 1), dtype=dtype) for ax in axes]
-        cores[n] = axes[n][None, :, None]
+        cores = list(ones_cores)
+        cores[n] = val_cores[n]
         tensors.append(tn.Tensor(cores, batch=batch))
     return tensors
+
+
+@jax.jit
+def _meshgrid_cores(axes):
+    ones_cores = tuple(jnp.ones((1, ax.shape[0], 1), dtype=ax.dtype) for ax in axes)
+    val_cores = tuple(ax[None, :, None] for ax in axes)
+    return ones_cores, val_cores
 
 
 def flip(t, dim):
