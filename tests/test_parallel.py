@@ -102,3 +102,107 @@ def test_tt_forward_shard_map():
         gt = tt_batch_forward(list(t.cores), X)
         y = tt_forward_shard_map(list(t.cores), X, mesh)
         assert float(jnp.abs(y - gt).max()) <= 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Distributed heavy algorithms (round-2: VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+@needs_8
+def test_round_tt_gram_sharded_matches_single_device():
+    from tntorch_tpu.ops.rounding import round_tt_gram
+    from tntorch_tpu.parallel import round_tt_gram_sharded
+
+    rng = np.random.default_rng(3)
+    for shape, tp in [((8, 8, 8, 8), 4), ((6, 10, 7), 2)]:  # incl. non-divisible modes
+        mesh = make_mesh((8 // tp, tp), ("dp", "tp"))
+        N = len(shape)
+        ranks = [1] + [6] * (N - 1) + [1]
+        cores = [
+            jnp.asarray(rng.standard_normal((ranks[n], shape[n], ranks[n + 1])))
+            for n in range(N)
+        ]
+        ref = round_tt_gram(tuple(cores), 3)
+        out = round_tt_gram_sharded(cores, 3, mesh, axis="tp")
+        from tntorch_tpu.ops.rounding import tt_full
+
+        assert np.allclose(
+            np.asarray(tt_full(tuple(out))), np.asarray(tt_full(tuple(ref))), atol=1e-12
+        )
+
+
+@needs_8
+def test_round_tt_gram_sharded_per_edge_ranks():
+    from tntorch_tpu.ops.rounding import round_tt_gram, tt_full
+    from tntorch_tpu.parallel import round_tt_gram_sharded
+
+    rng = np.random.default_rng(4)
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    ranks = [1, 5, 5, 1]
+    cores = [
+        jnp.asarray(rng.standard_normal((ranks[n], 8, ranks[n + 1]))) for n in range(3)
+    ]
+    rmax = (2, 3)
+    ref = round_tt_gram(tuple(cores), rmax)
+    out = round_tt_gram_sharded(cores, rmax, mesh, axis="tp")
+    assert [c.shape for c in out] == [c.shape for c in ref]
+    assert np.allclose(np.asarray(tt_full(tuple(out))), np.asarray(tt_full(tuple(ref))), atol=1e-12)
+
+
+@needs_8
+def test_round_tt_batch_sharded_matches():
+    from tntorch_tpu.ops.rounding import round_tt_gram
+    from tntorch_tpu.parallel import round_tt_batch_sharded
+
+    rng = np.random.default_rng(5)
+    mesh = make_mesh((8, 1), ("dp", "tp"))
+    B, N, I, R = 16, 3, 6, 5
+    ranks = [1] + [R] * (N - 1) + [1]
+    bcores = [
+        jnp.asarray(rng.standard_normal((B, ranks[n], I, ranks[n + 1])))
+        for n in range(N)
+    ]
+    out = round_tt_batch_sharded(bcores, 3, mesh, axis="dp")
+    for b in range(B):
+        ref = round_tt_gram(tuple(c[b] for c in bcores), 3)
+        for co, cr in zip(out, ref):
+            assert np.allclose(np.asarray(co[b]), np.asarray(cr), atol=1e-12)
+
+
+@needs_8
+def test_optimize_mesh_dp_matches_single_device():
+    """dp-sharded optimize: replicated params + dp-sharded data must produce
+    the same loss history as the unsharded run (f64, same seed)."""
+    import optax
+
+    from tntorch_tpu.parallel import shard_array
+
+    mesh = make_mesh((8, 1), ("dp", "tp"))
+    rng = np.random.default_rng(0)
+    N, I, R, B = 3, 6, 4, 64
+    X_np = rng.integers(0, I, (B, N)).astype(np.int32)
+    y_np = rng.standard_normal(B)
+
+    def make_t():
+        tn.utils.seed(7)
+        t = tn.rand([I] * N, ranks_tt=R, requires_grad=True)
+        return t
+
+    def run(mesh_arg, X, y):
+        t = make_t()
+
+        def loss(t_):
+            pred = tn.parallel.tt_batch_forward(list(t_.cores), X)
+            return jnp.mean((pred - y) ** 2)
+
+        hist = tn.optimize(
+            t, loss, optimizer=optax.adam(1e-2), max_iter=30, tol=None,
+            verbose=False, mesh=mesh_arg,
+        )
+        return hist, t
+
+    hist0, t0 = run(None, jnp.asarray(X_np), jnp.asarray(y_np))
+    hist1, t1 = run(mesh, shard_array(X_np, mesh), shard_array(y_np, mesh))
+    assert np.allclose(hist0, hist1, atol=1e-12)
+    for c0, c1 in zip(t0.cores, t1.cores):
+        assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-12)

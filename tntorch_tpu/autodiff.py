@@ -64,6 +64,7 @@ def optimize(
     verbose: bool = True,
     use_jit: bool = True,
     block_iters: int = 1,
+    mesh=None,
 ):
     """Iterative learning driver: optimizes the cores/factors of every input
     tensor flagged `requires_grad` against `loss_function`, in place.
@@ -78,6 +79,12 @@ def optimize(
         jitted lax.scan). On accelerators with high host round-trip latency,
         block_iters=32..128 removes the per-iteration sync; convergence is
         then checked once per block on the block's loss history.
+    :param mesh: optional jax.sharding.Mesh for data-parallel training: the
+        trainable cores/factors are replicated across the mesh, and when the
+        loss closure consumes data sharded over the mesh's batch axis (see
+        ``tn.parallel.shard_array``), XLA's SPMD partitioner evaluates the
+        loss shard-locally and all-reduces (psum) the gradients — the
+        standard dp recipe, with no change to the loss code.
     """
     import optax
 
@@ -90,6 +97,10 @@ def optimize(
         raise ValueError(
             "There are no parameters to optimize. Did you forget a requires_grad=True somewhere?"
         )
+    if mesh is not None:
+        from tntorch_tpu.parallel.algorithms import replicate_pytree
+
+        params = replicate_pytree(params, mesh)
 
     if optimizer is None:
         optimizer = optax.adam(1e-3)
@@ -133,7 +144,8 @@ def optimize(
     while block_iters > 1:
         # Blocked mode: fetch the whole block's loss history in one sync
         try:
-            params, opt_state, tls, parts = block_step(params, opt_state)
+            with tn.utils.trace_annotation("tn.optimize:block_step"):
+                params, opt_state, tls, parts = block_step(params, opt_state)
         except jax.errors.TracerArrayConversionError:
             block_iters = 1
             break

@@ -27,3 +27,9 @@ from tntorch_tpu.parallel.mesh import (
     tt_forward_sharded,
     tt_forward_shard_map,
 )
+from tntorch_tpu.parallel.algorithms import (
+    round_tt_gram_sharded,
+    round_tt_batch_sharded,
+    shard_array,
+    replicate_pytree,
+)
