@@ -668,9 +668,10 @@ def cross(
                 extras_chunk = [empty] * (S - 1)
                 schedule = [Rs] * S
             it_start = time.time()
-            outs, stats_dev, packed_rsets, rints_next = _fused_chunk_jit(
-                tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat
-            )
+            with tn.utils.trace_annotation("tn.cross:fused_chunk"):
+                outs, stats_dev, packed_rsets, rints_next = _fused_chunk_jit(
+                    tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat
+                )
             # ONE host round trip per chunk (each fetched array costs a full
             # tunnel round trip, so eps + finite flags ride ONE packed array;
             # the final rsets are fetched only if the loop continues)

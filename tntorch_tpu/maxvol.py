@@ -19,21 +19,24 @@ import numpy as np
 import scipy.linalg
 
 
-def _initial_pivots(A: np.ndarray) -> np.ndarray:
-    """Row pivots from a partially pivoted LU of A (N x r, N > r)."""
+def _initial_pivots(A: np.ndarray, top: int) -> np.ndarray:
+    """Row pivots from a partially pivoted LU of A's first `top` rows."""
     N, r = A.shape
     # scipy's lu_factor returns ipiv as successive row swaps
-    _, piv = scipy.linalg.lu_factor(np.asfortranarray(A), check_finite=False)
+    _, piv = scipy.linalg.lu_factor(np.asfortranarray(A[:top]), check_finite=False)
     index = np.arange(N)
     for i in range(r):
         index[i], index[piv[i]] = index[piv[i]], index[i]
     return index
 
 
-def maxvol(A, tol: float = 1.05, max_iters: int = 100):
+def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1):
     """Select r rows of A (N x r) whose submatrix has quasi-maximal volume.
 
     Returns (row_indices [r], C = A @ inv(A[rows]) [N x r]).
+
+    :param top_k_index: restrict pivot candidates to the first `top_k_index`
+        rows (reference maxvol.py:114,127-130); -1 means all rows.
 
     Dispatches to the native C++ kernel (csrc/maxvol.cpp) when available for
     real input; falls back to this NumPy implementation otherwise.
@@ -43,21 +46,22 @@ def maxvol(A, tol: float = 1.05, max_iters: int = 100):
     N, r = A.shape
     if N <= r:
         return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
+    top = N if top_k_index == -1 or top_k_index > N else max(top_k_index, r)
 
-    if A.dtype.kind == "f":
+    if A.dtype.kind == "f" and top == N:
         from tntorch_tpu._native import native_maxvol
 
         out = native_maxvol(A, tol, max_iters)
         if out is not None:
             return out
 
-    index = _initial_pivots(A)
+    index = _initial_pivots(A, top)
     rows = index[:r]
     # Coefficients C = A @ inv(A[rows]): solve A[rows]^T X^T = A^T
     C = scipy.linalg.solve(A[rows].T, A.T, check_finite=False).T
 
     for _ in range(max_iters):
-        flat = np.argmax(np.abs(C))
+        flat = np.argmax(np.abs(C[:top]))
         i, j = divmod(flat, r)
         if abs(C[i, j]) <= tol:
             break
@@ -78,17 +82,22 @@ def rect_maxvol(
     minK: int = None,
     start_maxvol_iters: int = 10,
     identity_submatrix: bool = True,
+    top_k_index: int = -1,
 ):
     """Greedy rectangular maxvol: start from square maxvol pivots and keep
     adding the row with the largest coefficient norm until it drops below
-    `tol` (or K bounds are hit). Returns (row_indices [K], C [N x K])."""
+    `tol` (or K bounds are hit). Returns (row_indices [K], C [N x K]).
+
+    :param top_k_index: only the first `top_k_index` rows may be selected
+        (reference maxvol.py:38,66-69); -1 means all rows."""
     A = np.asarray(A)
     tol2 = tol**2
     N, r = A.shape
     if N <= r:
         return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
+    top = N if top_k_index == -1 or top_k_index > N else max(top_k_index, r)
 
-    if A.dtype.kind == "f" and min_add_K is None:
+    if A.dtype.kind == "f" and min_add_K is None and top == N:
         from tntorch_tpu._native import native_rect_maxvol
 
         out = native_rect_maxvol(A, tol, maxK, minK, start_maxvol_iters, identity_submatrix)
@@ -102,12 +111,12 @@ def rect_maxvol(
     minK = min(minK, maxK)
 
     index = np.zeros(N, dtype=np.int64)
-    chosen = np.ones(N)
-    tmp_index, C = maxvol(A, 1.05, start_maxvol_iters)
+    chosen = np.ones(top)
+    tmp_index, C = maxvol(A, 1.05, start_maxvol_iters, top_k_index=top)
     index[:r] = tmp_index
     chosen[tmp_index] = 0
 
-    row_norm_sqr = np.einsum("ij,ij->i", C, C.conj()).real * chosen
+    row_norm_sqr = np.einsum("ij,ij->i", C[:top], C[:top].conj()).real * chosen
     i = int(np.argmax(row_norm_sqr))
     K = r
     while (row_norm_sqr[i] > tol2 and K < maxK) or K < minK:
@@ -118,7 +127,7 @@ def rect_maxvol(
         l = 1.0 / (1 + v[i])
         C = C - l * np.outer(v, c)
         C = np.hstack([C, l * v.reshape(-1, 1)])
-        row_norm_sqr = (row_norm_sqr - (l * v * v.conj()).real) * chosen
+        row_norm_sqr = (row_norm_sqr - (l * v[:top] * v[:top].conj()).real) * chosen
         i = int(np.argmax(row_norm_sqr))
         K += 1
 

@@ -97,11 +97,37 @@ def dot(t1, t2, k=None):
     return t2trail
 
 
+def _is_complex(t):
+    return isinstance(t, tn.Tensor) and any(jnp.iscomplexobj(c) for c in t.cores)
+
+
+def _conj(t):
+    """Tensor with conjugated cores/factors (conj distributes over the TT
+    contraction, so full(_conj(t)) == conj(full(t)))."""
+    t2 = t.clone()
+    t2.cores = [jnp.conj(c) for c in t2.cores]
+    t2.Us = [None if U is None else jnp.conj(U) for U in t2.Us]
+    return t2
+
+
+def _normsq_hermitian(t):
+    """<t, t> with conjugation — real and nonnegative for complex tensors.
+
+    `dot` itself stays unconjugated like the reference's einsum chain
+    (metrics.py:93-98), but norms/distances must be true norms."""
+    return jnp.clip(dot(_conj(t), t).real, min=0)
+
+
 def dist(t1, t2):
     """Euclidean distance in compressed form (reference metrics.py:119-132)."""
     t1, t2 = _process(t1, t2)
     if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
         return jnp.linalg.norm((t1 - t2).reshape(-1))
+    if _is_complex(t1) or _is_complex(t2):
+        cross = dot(_conj(t1), t2).real
+        return jnp.sqrt(
+            jnp.clip(_normsq_hermitian(t1) + _normsq_hermitian(t2) - 2 * cross, min=0)
+        )
     return jnp.sqrt(
         jnp.clip(dot(t1, t1) + dot(t2, t2) - 2 * jnp.clip(dot(t1, t2), min=None), min=0)
     )
@@ -112,6 +138,8 @@ def relative_error(gt, approx):
     gt, approx = _process(gt, approx)
     if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
         return jnp.linalg.norm((gt - approx).reshape(-1)) / jnp.linalg.norm(gt.reshape(-1))
+    if _is_complex(gt) or _is_complex(approx):
+        return dist(gt, approx) / jnp.sqrt(_normsq_hermitian(gt))
     dotgt = dot(gt, gt)
     return jnp.sqrt(
         jnp.clip(dotgt + dot(approx, approx) - 2 * dot(gt, approx), min=0)
@@ -289,8 +317,12 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
 
 
 def normsq(t):
+    if _is_complex(t):
+        return _normsq_hermitian(t)
     return dot(t, t)
 
 
 def norm(t):
+    if _is_complex(t):
+        return jnp.sqrt(_normsq_hermitian(t))
     return jnp.sqrt(jnp.clip(normsq(t), min=0))
