@@ -62,6 +62,24 @@ def bench_ours(cores_np, rmax, iters=20):
     return (time.perf_counter() - t0) / iters, out
 
 
+def bench_ours_prec(cores_np, rmax, precision, iters=20):
+    """Single-stream Gram rounding under a lower-precision policy mode."""
+    import jax.numpy as jnp
+
+    from tntorch_tpu.ops.rounding import round_tt_gram
+
+    cores = tuple(jnp.asarray(c) for c in cores_np)
+    out = round_tt_gram(cores, rmax, precision=precision)
+    _sync(out)
+    out = round_tt_gram(cores, rmax, precision=precision)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = round_tt_gram(cores, rmax, precision=precision)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
 def bench_ours_batched(cores_np, rmax, B=32, iters=10):
     """vmapped Gram rounding over a batch of B independent TTs — the
     throughput number (single-stream is floored by dispatch latency)."""
@@ -251,6 +269,14 @@ def main():
         extra["tt_round_batched_gflops"] = round(flops / t_batched / 1e9, 1)
     except Exception as e:
         print(f"# batched bench failed: {e}", file=sys.stderr)
+
+    # Performance-mode numbers (tn.set_policy): fast-f32 and bf16-in/f32-acc
+    for key, prec in [("tt_round_f32_gflops", "default"), ("tt_round_bf16_gflops", "bf16")]:
+        try:
+            t_prec, _ = bench_ours_prec(cores_np, rmax, prec)
+            extra[key] = round(flops / t_prec / 1e9, 2)
+        except Exception as e:
+            print(f"# {prec} bench failed: {e}", file=sys.stderr)
 
     try:
         hilbert_s, evals_s = bench_cross_ours()

@@ -22,7 +22,7 @@ def check(x, t, idx):
 
 
 def test_squeeze():
-    for i in range(20):
+    for i in range(10):
         x = np.random.randint(1, 3, np.random.randint(2, 10))
         t = tn.Tensor(np.random.rand(*x))
         sq = tn.squeeze(t)
@@ -78,7 +78,7 @@ def test_mixed():
         tn.rand([6, 7, 8, 9], ranks_tt=[None, 4, 4], ranks_tucker=2, ranks_cp=[3, None, None, None])
     )
 
-    for i in range(25):
+    for i in range(12):
         check_one_tensor(random_format([6, 7, 8, 9]))
 
     t = tn.rand([6, 7, 8, 9], ranks_cp=[3, 3, 3, 3])

@@ -8,7 +8,7 @@ np.random.seed(5)
 
 
 def test_from_ndarray():
-    for i in range(25):
+    for i in range(12):
         gt = np.random.rand(*np.random.randint(1, 8, np.random.randint(1, 6)))
         t = tn.Tensor(gt)
         reco = t.numpy()

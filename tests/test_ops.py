@@ -33,7 +33,7 @@ def test_ops():
     t2 = t1 * 2
     check(t1, t2)
 
-    for i in range(25):
+    for i in range(12):
         t1 = random_format(shape)
         t2 = random_format(shape)
         check(t1, t2)
@@ -73,7 +73,7 @@ def test_dot():
     check_dot(t1, t2)
 
     shape = [8] * 4
-    for i in range(25):
+    for i in range(12):
         check_dot(random_format(shape), random_format(shape))
 
 
@@ -87,7 +87,7 @@ def test_dot_partial():
 
 def test_stats():
     shape = [8] * 4
-    for i in range(25):
+    for i in range(12):
         t = random_format(shape)
         x = t.numpy()
         assert tn.relative_error(tn.mean(t), np.mean(x)) <= 1e-3

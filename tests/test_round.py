@@ -10,7 +10,7 @@ np.random.seed(2)
 
 
 def test_orthogonalization():
-    for i in range(20):
+    for i in range(8):
         gt = tn.rand(np.random.randint(1, 8, np.random.randint(2, 6)))
         t = gt.clone()
         assert tn.relative_error(gt, t) <= 1e-7
@@ -51,7 +51,7 @@ def test_truncated_svd_reconstruct():
 
 
 def test_round_tt_svd():
-    for i in range(15):
+    for i in range(5):
         gt = tn.rand(np.random.randint(1, 8, np.random.randint(8, 10)), ranks_tt=np.random.randint(1, 10))
         gt.round_tt(1e-8, algorithm="svd")
         t = gt + gt
@@ -61,7 +61,7 @@ def test_round_tt_svd():
 
 
 def test_round_tt_eig():
-    for i in range(15):
+    for i in range(5):
         gt = tn.rand(np.random.randint(1, 8, np.random.randint(8, 10)), ranks_tt=np.random.randint(1, 10))
         gt.round_tt(1e-8, algorithm="eig")
         t = gt + gt
@@ -70,7 +70,7 @@ def test_round_tt_eig():
 
 
 def test_round_tucker():
-    for i in range(10):
+    for i in range(5):
         eps = np.random.rand() ** 2
         gt = tn.rand([32] * 4, ranks_tt=8, ranks_tucker=8)
         t = gt.clone()
@@ -103,7 +103,7 @@ def test_round_combined():
 def test_round_tt_eps_jit_matches_svd():
     # The adaptive-eps jitted path (algorithm='eig' on pure TT) must pick the
     # same ranks as the eager SVD path and respect the error bound
-    for i in range(8):
+    for i in range(4):
         eps = 10 ** np.random.uniform(-6, -1)
         gt = tn.rand([10] * 5, ranks_tt=5)
         t1 = gt.clone()
@@ -112,3 +112,61 @@ def test_round_tt_eps_jit_matches_svd():
         t2.round_tt(eps, algorithm="svd")
         assert list(t1.ranks_tt) == list(t2.ranks_tt)
         assert float(tn.relative_error(gt, t1)) <= eps * 1.01
+
+
+def test_round_tucker_jit_matches_eager():
+    # The jitted masked Tucker kernel must pick the same ranks as the eager
+    # per-mode path (reached by supplying explicit identity factors)
+    for eps in (1e-10, 1e-3, 0.2):
+        gt = tn.rand([12] * 4, ranks_tt=6)
+        t1 = gt.clone()
+        t1.round_tucker(eps=eps, algorithm="eig")
+        t2 = gt.clone()
+        t2.Us = [jnp.eye(12, dtype=t2.cores[0].dtype) for _ in range(4)]
+        t2.round_tucker(eps=eps, algorithm="eig")
+        assert list(t1.ranks_tucker) == list(t2.ranks_tucker)
+        e1 = np.linalg.norm(t1.numpy() - gt.numpy()) / np.linalg.norm(gt.numpy())
+        assert e1 <= max(eps, 1e-12) * 1.01
+
+
+def test_round_tucker_jit_svd_rmax_dim():
+    gt = tn.rand([10] * 3, ranks_tt=5)
+    t = gt.clone()
+    t.round_tucker(eps=1e-2, rmax=3, algorithm="svd")
+    assert max(t.ranks_tucker) <= 3
+    # dim= only rescales the error budget (reference truncates all modes)
+    gt = tn.rand([8] * 4, ranks_tt=4)
+    t = gt.clone()
+    t.round_tucker(eps=1e-3, dim=[1, 2])
+    e = np.linalg.norm(t.numpy() - gt.numpy()) / np.linalg.norm(gt.numpy())
+    assert e <= 1e-3 * 1.01
+
+
+def test_round_tt_svd_jit_matches_eager():
+    # algorithm='svd' now routes through the one-program masked kernel;
+    # verbose=True keeps the eager per-mode path -> same ranks, same values
+    for i in range(5):
+        eps = 10 ** np.random.uniform(-8, -1)
+        gt = tn.rand([9] * 5, ranks_tt=6)
+        t = gt + gt
+        t1 = t.clone()
+        t1.round_tt(eps, algorithm="svd")
+        t2 = t.clone()
+        t2.round_tt(eps, algorithm="svd", verbose=True)
+        assert list(t1.ranks_tt) == list(t2.ranks_tt)
+        e = np.linalg.norm(t1.numpy() - t2.numpy()) / np.linalg.norm(t2.numpy())
+        assert e <= 1e-10
+
+
+def test_round_tt_batch_jit():
+    # Batch rounding is ONE vmapped XLA program (fixed ranks); must agree
+    # with the per-sample eager sweep in values and ranks
+    gt = tn.rand([4, 6, 7, 8], ranks_tt=5, batch=True)
+    t = gt + gt
+    t.round_tt(rmax=5)
+    assert np.linalg.norm(t.numpy() - 2 * gt.numpy()) <= 1e-8
+    assert list(t.ranks_tt) == list(gt.ranks_tt)
+    # rmax=None keeps min(rows, cols) per edge, like the reference batch rule
+    t2 = gt + gt
+    t2.round_tt()
+    assert np.linalg.norm(t2.numpy() - 2 * gt.numpy()) <= 1e-8

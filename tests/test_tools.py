@@ -20,7 +20,7 @@ def test_unfolding():
 
 
 def test_cat():
-    for i in range(25):
+    for i in range(12):
         N = np.random.randint(1, 4)
         shape1 = np.random.randint(1, 10, N)
         mode = np.random.randint(N)

@@ -8,6 +8,7 @@ boolean logic, weighted automata, TT/CP matrices and vector calculus.
 """
 
 from tntorch_tpu import utils
+from tntorch_tpu.utils import set_policy, get_policy
 from tntorch_tpu.tensor import Tensor
 from tntorch_tpu.create import *
 from tntorch_tpu.round import *

@@ -113,8 +113,7 @@ def _sqrt_factor(G, eps_rel=1e-12):
     return F, Finv
 
 
-@partial(jax.jit, static_argnums=(1,))
-def round_tt_gram(cores: Sequence[jax.Array], rmax: int):
+def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None):
     """Fixed-rank TT rounding WITHOUT orthogonalization sweeps: two-sided
     Gram method (cf. Al Daas, Ballard et al., "Parallel TT rounding based on
     Gram SVD"). Every large operation is a batched matmul (MXU); the only
@@ -123,9 +122,77 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int):
     Numerics: like algorithm='eig', the Gram squares the condition number —
     use for f32/bf16 performance mode; the QR path (round_tt_fixed) is the
     accuracy-first variant.
+
+    :param precision: matmul precision mode, default = the library policy
+        (``tn.set_policy``): 'highest' | 'high' | 'default' | 'bf16'
+        ('bf16' casts the large matmul operands to bfloat16 with f32
+        accumulation and f32 factorizations).
     """
-    with jax.default_matmul_precision("highest"):
+    from tntorch_tpu.utils import resolve_precision
+
+    precision = resolve_precision(precision)
+    if precision == "bf16":
+        return _round_tt_gram_bf16_jit(tuple(cores), rmax)
+    return _round_tt_gram_prec_jit(tuple(cores), rmax, precision)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _round_tt_gram_prec_jit(cores, rmax, precision):
+    with jax.default_matmul_precision(precision):
         return _round_tt_gram_body(cores, rmax)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _round_tt_gram_bf16_jit(cores, rmax):
+    """bf16-in / f32-accumulate variant: every large contraction consumes
+    bfloat16-rounded operands (native MXU input type, half the HBM traffic
+    for the stored cores) with float32 accumulation; interface
+    factorizations (cholesky/eigh/triangular solves) stay float32. The
+    operands are upcast to f32 at the dot (portable: XLA-CPU lacks a
+    BF16xBF16=F32 dot thunk; on TPU the convert fuses into the single-pass
+    bf16 MXU read under 'default' precision)."""
+    from jax.scipy.linalg import solve_triangular
+
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    in_dtype = cores[0].dtype
+    cores = [c.astype(bf) for c in cores]
+    N = len(cores)
+
+    def mm(spec, a, b):
+        with jax.default_matmul_precision("default"):
+            return jnp.einsum(spec, a.astype(f32), b.astype(f32))
+
+    G = [None] * (N + 1)
+    G[N] = jnp.ones((1, 1), dtype=f32)
+    for k in range(N, 1, -1):
+        C = cores[k - 1]
+        T = mm("aib,bc->aic", C, G[k]).astype(bf)
+        G[k - 1] = mm("aic,dic->ad", T, C)
+
+    L = jnp.ones((1, 1), dtype=f32)
+    for k in range(1, N):
+        C = cores[k - 1]
+        CL = mm("ac,aib->cib", L, C).astype(bf)
+        Lk = mm("cib,cid->bd", CL, C)
+        jitter = 1e-3 * jnp.trace(Lk) / Lk.shape[0] + jnp.asarray(1e-30, f32)
+        F = jnp.linalg.cholesky(Lk + jitter * jnp.eye(Lk.shape[0], dtype=f32))
+        A = F.T @ G[k] @ F
+        _, V = jnp.linalg.eigh(A)
+        rk = rmax if isinstance(rmax, int) else rmax[k - 1]
+        r = min(rk, A.shape[0])
+        U = V[:, ::-1][:, :r]
+        X = solve_triangular(F, U, trans=1, lower=True)
+        Y = U.T @ F.T
+        cores[k - 1] = mm("aib,bc->aic", C, X).astype(bf)
+        nxt = cores[k]
+        cores[k] = (
+            mm("rb,bj->rj", Y, nxt.reshape(nxt.shape[0], -1))
+            .reshape(r, nxt.shape[1], nxt.shape[2])
+            .astype(bf)
+        )
+        L = jnp.eye(r, dtype=f32)
+    return [c.astype(in_dtype) for c in cores]
 
 
 def _round_tt_gram_body(cores, rmax):
@@ -172,9 +239,9 @@ def _round_tt_gram_body(cores, rmax):
     return cores
 
 
-@jax.jit
-def _round_tt_eps_kernel(cores, eps, rmax_vec):
-    """Error-budgeted (adaptive-rank) TT rounding as ONE jitted program.
+def _eps_eig_body(cores, eps, rmax_vec):
+    """Shared traceable body of the masked Gram-eigh eps rounding (used by
+    the non-batch kernel and, vmapped, by the batch kernel).
 
     XLA needs static shapes, so truncation is a *masked projection*: each
     edge keeps its padded rank but zeroes the discarded spectral directions,
@@ -183,53 +250,289 @@ def _round_tt_eps_kernel(cores, eps, rmax_vec):
     (SURVEY.md hard part #1: padded-rank + mask discipline).
 
     Rank rule matches the reference's reversed-cumsum criterion
-    (round.py:147-158) with delta = eps * |t| / sqrt(N-1) (tensor.py:2039);
-    spectra come from the Gram matrix like algorithm='eig'.
+    (round.py:147-158) with delta = eps * |t| / sqrt(N-1) (tensor.py:2039).
     """
-    with jax.default_matmul_precision("highest"):
-        cores = _left_orthogonalize_sweep(list(cores))
-        N = len(cores)
-        dtype = cores[0].dtype
-        norm = jnp.linalg.norm(cores[-1].reshape(-1))
-        delta = eps / max(1.0, float(np.sqrt(N - 1))) * norm
-        effs = []
-        for mu in range(N - 1, 0, -1):
-            Rl, I, Rr = cores[mu].shape
-            M = cores[mu].reshape(Rl, I * Rr)
-            G = M @ M.T
-            w, V = jnp.linalg.eigh(G)  # ascending; w == sigma^2
-            w = jnp.maximum(w, 0.0)
-            k_discard = jnp.sum(jnp.cumsum(w) <= delta**2)
-            r = jnp.clip(Rl - k_discard, 1, rmax_vec[mu - 1])
-            mask = (jnp.arange(Rl) < r).astype(dtype)
-            U = V[:, ::-1] * mask[None, :]  # zero the discarded directions
-            s = jnp.sqrt(jnp.maximum(w[::-1], jnp.finfo(dtype).tiny))  # sigma, descending
-            # Keep the invariant of the RTL sweep: core_mu gets the
-            # row-orthonormal V^T (scale sigma pushed LEFT), so the next
-            # edge's Gram spectrum still measures the global error
-            cores[mu] = (((U.T @ M) / s[:, None]) * mask[:, None]).reshape(Rl, I, Rr)
-            prev = cores[mu - 1]
-            cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U * s[None, :])
-            effs.append(r)
-        return cores, jnp.stack(effs[::-1]).astype(jnp.int32)
-
-
-def round_tt_eps(cores, eps: float, rmax=None):
-    """Adaptive-rank TT rounding with a single device->host sync: run the
-    jitted masked-truncation kernel, then compact the padded cores to the
-    effective ranks on the host. Returns a list of compacted cores."""
-    cores = tuple(cores)
+    cores = _left_orthogonalize_sweep(list(cores))
     N = len(cores)
+    dtype = cores[0].dtype
+    norm = jnp.linalg.norm(cores[-1].reshape(-1))
+    delta = eps / max(1.0, float(np.sqrt(N - 1))) * norm
+    effs = []
+    for mu in range(N - 1, 0, -1):
+        Rl, I, Rr = cores[mu].shape
+        M = cores[mu].reshape(Rl, I * Rr)
+        G = M @ M.T
+        w, V = jnp.linalg.eigh(G)  # ascending; w == sigma^2
+        w = jnp.maximum(w, 0.0)
+        k_discard = jnp.sum(jnp.cumsum(w) <= delta**2)
+        r = jnp.clip(Rl - k_discard, 1, rmax_vec[mu - 1])
+        mask = (jnp.arange(Rl) < r).astype(dtype)
+        U = V[:, ::-1] * mask[None, :]  # zero the discarded directions
+        s = jnp.sqrt(jnp.maximum(w[::-1], jnp.finfo(dtype).tiny))  # sigma, descending
+        # Keep the invariant of the RTL sweep: core_mu gets the
+        # row-orthonormal V^T (scale sigma pushed LEFT), so the next
+        # edge's Gram spectrum still measures the global error
+        cores[mu] = (((U.T @ M) / s[:, None]) * mask[:, None]).reshape(Rl, I, Rr)
+        prev = cores[mu - 1]
+        cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U * s[None, :])
+        effs.append(r)
+    return cores, jnp.stack(effs[::-1]).astype(jnp.int32)
+
+
+@jax.jit
+def _round_tt_eps_kernel(cores, eps, rmax_vec):
+    """Masked Gram-eigh eps rounding as ONE jitted program + one sync."""
+    with jax.default_matmul_precision("highest"):
+        return _eps_eig_body(list(cores), eps, rmax_vec)
+
+
+def _eps_svd_body(cores, eps, rmax_vec):
+    """Shared traceable body of the masked true-SVD eps rounding — the
+    accuracy class of the reference's default algorithm='svd'
+    (round.py:94-100). Used verbatim by the non-batch kernel and (vmapped)
+    by the batch kernel, so batch-vs-loop results agree bit-for-bit
+    including factorization gauges (tests/test_tensor.py relies on this)."""
+    cores = _left_orthogonalize_sweep(list(cores))
+    N = len(cores)
+    dtype = cores[0].dtype
+    norm = jnp.linalg.norm(cores[-1].reshape(-1))
+    delta = eps / max(1.0, float(np.sqrt(N - 1))) * norm
+    effs = []
+    for mu in range(N - 1, 0, -1):
+        Rl, I, Rr = cores[mu].shape
+        M = cores[mu].reshape(Rl, I * Rr)
+        U, S, Vt = jnp.linalg.svd(M, full_matrices=False)  # k = min(Rl, I*Rr)
+        k = S.shape[0]
+        # Pad the factor back to the static width Rl (k <= Rl)
+        if k < Rl:
+            U = jnp.pad(U, ((0, 0), (0, Rl - k)))
+            S = jnp.pad(S, (0, Rl - k))
+            Vt = jnp.pad(Vt, ((0, Rl - k), (0, 0)))
+        # Largest discardable tail: cumsum of smallest sigma^2 <= delta^2
+        S2 = S**2
+        k_discard = jnp.sum(jnp.cumsum(S2[::-1]) <= delta**2)
+        r = jnp.clip(Rl - k_discard, 1, jnp.minimum(rmax_vec[mu - 1], k))
+        mask = (jnp.arange(Rl) < r).astype(dtype)
+        # Keep row-orthonormal V^T here; push U*S left (same invariant as
+        # the eig kernel: the next edge's spectrum measures global error)
+        cores[mu] = (Vt * mask[:, None]).reshape(Rl, I, Rr)
+        prev = cores[mu - 1]
+        cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, (U * S[None, :]) * mask[None, :])
+        effs.append(r)
+    return cores, jnp.stack(effs[::-1]).astype(jnp.int32)
+
+
+@jax.jit
+def _round_tt_eps_svd_kernel(cores, eps, rmax_vec):
+    """Masked true-SVD eps rounding as ONE jitted program + one sync."""
+    with jax.default_matmul_precision("highest"):
+        return _eps_svd_body(list(cores), eps, rmax_vec)
+
+
+def _rmax_vec(rmax, N):
     if rmax is None:
         rmax = [np.iinfo(np.int32).max] * (N - 1)
     elif not hasattr(rmax, "__len__"):
         rmax = [rmax] * (N - 1)
-    rmax_vec = jnp.asarray(
+    return jnp.asarray(
         [np.iinfo(np.int32).max if r is None else int(r) for r in rmax], dtype=jnp.int32
     )
-    padded, effs = _round_tt_eps_kernel(cores, jnp.asarray(eps, cores[0].dtype), rmax_vec)
+
+
+def round_tt_eps(cores, eps: float, rmax=None, algorithm: str = "eig"):
+    """Adaptive-rank TT rounding with a single device->host sync: run the
+    jitted masked-truncation kernel (Gram-eigh or true-SVD spectra per
+    `algorithm`), then compact the padded cores to the effective ranks on
+    the host. Returns a list of compacted cores."""
+    cores = tuple(cores)
+    N = len(cores)
+    rmax_vec = _rmax_vec(rmax, N)
+    kernel = _round_tt_eps_svd_kernel if algorithm == "svd" else _round_tt_eps_kernel
+    padded, effs = kernel(cores, jnp.asarray(eps, cores[0].dtype), rmax_vec)
     effs = [1] + [int(e) for e in np.asarray(effs)] + [1]  # the one sync
     return [c[: effs[k], :, : effs[k + 1]] for k, c in enumerate(padded)]
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _round_tt_batch_kernel(cores, eps, rmax_vec, algorithm):
+    body = _eps_svd_body if algorithm == "svd" else _eps_eig_body
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(lambda *cs: body(list(cs), eps, rmax_vec))(*cores)
+
+
+def round_tt_batch(cores, rmax=None, algorithm: str = "svd"):
+    """Fully-jitted batch TT rounding: the SAME masked kernel body as the
+    non-batch eps path, vmapped over the batch with eps=0 — which reproduces
+    the reference's batch rule rank = min(rmax, rows, cols) per edge
+    (round.py:149-150: batch has no error budget; with eps=0 only exact-zero
+    spectral tails are discarded, i.e. the structural padding). Running the
+    identical body keeps batch-vs-loop agreement exact per sample, including
+    factorization gauges. One host sync for the effective ranks.
+    Input/output: list of 4D cores (B x Rl x I x Rr)."""
+    cores = tuple(cores)
+    N = len(cores)
+    rmax_vec = _rmax_vec(rmax, N)
+    dtype = cores[0].dtype
+    padded, effs = _round_tt_batch_kernel(
+        cores, jnp.asarray(0.0, dtype), rmax_vec, algorithm
+    )
+    # Uniform compaction: max effective rank across the batch (per-sample
+    # masked zeros beyond a smaller rank stay zero, so values are exact)
+    effs = [1] + [int(e) for e in np.asarray(effs).max(axis=0)] + [1]
+    return [c[:, : effs[k], :, : effs[k + 1]] for k, c in enumerate(padded)]
+
+
+def _tucker_eps_body(cores, us, eps, dims, algorithm, rmax_tuple):
+    """Shared traceable body of the masked Tucker-eps rounding (the eager
+    path syncs per mode; reference tensor.py:1911-2006). Used verbatim by
+    the non-batch kernel and (vmapped) by the batch kernel.
+
+    `cores` are TT cores (Rl x S x Rr), `us` the Tucker factors (I x S; an
+    identity for modes that had none). Truncation is a masked projection:
+    factors keep their padded width with discarded columns zeroed, and the
+    data-dependent effective Tucker ranks come back as an int vector — the
+    only host sync. Like the reference (tensor.py:1945-2006), EVERY mode is
+    truncated; `dims` only sets the error split eps/sqrt(len(dims)).
+    """
+    if True:
+        cores = _left_orthogonalize_sweep(list(cores))
+        us = list(us)
+        N = len(cores)
+        dtype = cores[0].dtype
+        delta_scale = eps / max(1.0, float(np.sqrt(len(dims))))
+        effs = []
+        for mu in range(N - 1, -1, -1):
+            if True:
+                core = cores[mu]
+                Rl, S, Rr = core.shape
+                # Push the core's non-orthogonality into the factor
+                perm = jnp.swapaxes(core, -1, -2).reshape(Rl * Rr, S)
+                Q, Rm = jnp.linalg.qr(perm)  # S' = min(Rl*Rr, S)
+                Sp = Q.shape[1]
+                core = jnp.swapaxes(Q.reshape(Rl, Rr, Sp), -1, -2)
+                U = us[mu] @ Rm.T  # (I, S')
+                # Spectrum of the factor: local error == global error here
+                # (everything else in the network is orthogonal)
+                delta = delta_scale * jnp.linalg.norm(U)
+                # Factor must stay ORTHONORMAL (scale goes into the core,
+                # like the eager path's left_ortho=True): the next mode's
+                # local spectrum only measures global error if every other
+                # node of the network is orthogonal.
+                if algorithm == "svd":
+                    uu, ss, vvt = jnp.linalg.svd(U, full_matrices=False)
+                    k = ss.shape[0]  # min(I, S')
+                    w = ss**2
+                    left_ortho_f = uu  # (I, k), orthonormal columns
+                    proj = ss[:, None] * vvt  # (k, S'): U = uu @ proj
+                else:
+                    G = U.T @ U  # (S', S')
+                    w_asc, V = jnp.linalg.eigh(G)
+                    w = jnp.maximum(w_asc[::-1], 0.0)
+                    k = Sp
+                    Vd = V[:, ::-1]  # descending
+                    sig = jnp.sqrt(jnp.maximum(w, jnp.finfo(dtype).tiny))
+                    left_ortho_f = (U @ Vd) / sig[None, :]  # orthonormal
+                    proj = sig[:, None] * Vd.T  # (S', S')
+                k_discard = jnp.sum(jnp.cumsum(w[::-1]) <= delta**2)
+                # rmax caps IN-PROGRAM: later modes' spectra must see the
+                # capped (masked) network, exactly like the eager sweep —
+                # capping only at compaction time would let them measure an
+                # uncapped network and pick different subspaces
+                r = jnp.clip(k - k_discard, 1, min(rmax_tuple[mu], k))
+                mask = (jnp.arange(k) < r).astype(dtype)
+                us[mu] = left_ortho_f * mask[None, :]  # (I, k), zeroed tail
+                cores[mu] = jnp.einsum(
+                    "isk,as->iak", core, proj * mask[:, None]
+                )  # (Rl, k, Rr), zeroed tail slices
+                effs.append(r)
+            if mu > 0:
+                # Right-orthogonalize mu, pushing L into core mu-1
+                core = cores[mu]
+                Rl = core.shape[0]
+                Mt = core.reshape(Rl, -1).T
+                Q, L = jnp.linalg.qr(Mt)
+                cores[mu] = Q.T.reshape((Q.shape[1],) + core.shape[1:])
+                prev = cores[mu - 1]
+                cores[mu - 1] = (prev.reshape(-1, Rl) @ L.T).reshape(
+                    prev.shape[:-1] + (L.shape[1],)
+                )
+        return cores, us, jnp.stack(effs[::-1]).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _round_tucker_eps_kernel(cores, us, eps, dims, algorithm, rmax_tuple):
+    """Masked Tucker-eps rounding as ONE jitted program + one sync."""
+    with jax.default_matmul_precision("highest"):
+        return _tucker_eps_body(list(cores), list(us), eps, dims, algorithm, rmax_tuple)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _round_tucker_batch_kernel(cores, us, eps, dims, algorithm, rmax_tuple):
+    """The same body vmapped over the batch dim of the cores (`us` holds the
+    shared identity factors) — batch-vs-loop Tucker rounding then agrees
+    exactly per sample, including gauges."""
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(
+            lambda *cs: _tucker_eps_body(list(cs), list(us), eps, dims, algorithm, rmax_tuple)
+        )(*cores)
+
+
+def round_tucker_eps_batch(cores, us, rmax=None, dims=None, algorithm: str = "svd"):
+    """Batch Tucker rounding with the reference's batch rule (fixed rank
+    min(rmax, full), no error budget -> eps=0): returns (batched cores,
+    batched us) compacted to the max effective rank across the batch."""
+    N = len(cores)
+    if dims is None:
+        dims = range(N)
+    dims = tuple(int(d) for d in dims)
+    if rmax is None:
+        rmax = [None] * N
+    elif not hasattr(rmax, "__len__"):
+        rmax = [rmax] * N
+    rmax_tuple = tuple(np.iinfo(np.int32).max if r is None else int(r) for r in rmax)
+    out_cores, out_us, effs = _round_tucker_batch_kernel(
+        tuple(cores), tuple(us), jnp.asarray(0.0, cores[0].dtype), dims, algorithm, rmax_tuple
+    )
+    effs = np.asarray(effs).max(axis=0)  # the one sync
+    out_cores, out_us = list(out_cores), list(out_us)
+    for mu in range(N):
+        r = int(effs[mu])
+        out_cores[mu] = out_cores[mu][:, :, :r, :]
+        out_us[mu] = out_us[mu][:, :, :r]
+    return out_cores, out_us
+
+
+def round_tucker_eps(cores, us, eps: float, rmax=None, dims=None, algorithm: str = "eig"):
+    """Adaptive Tucker-rank rounding with a single device->host sync: the
+    jitted masked kernel picks ranks; compaction happens here. Every mode is
+    truncated (reference semantics); `dims` only sets the eps/sqrt(len(dims))
+    error split. Returns (cores, us).
+
+    `rmax` caps the effective ranks inside the kernel (so later modes'
+    truncation decisions see the capped network, like the eager sweep)."""
+    N = len(cores)
+    if dims is None:
+        dims = range(N)
+    dims = tuple(int(d) for d in dims)
+    if rmax is None:
+        rmax = [None] * N
+    elif not hasattr(rmax, "__len__"):
+        rmax = [rmax] * N
+    rmax_tuple = tuple(
+        np.iinfo(np.int32).max if r is None else int(r) for r in rmax
+    )
+    cores = tuple(cores)
+    us = tuple(us)
+    out_cores, out_us, effs = _round_tucker_eps_kernel(
+        cores, us, jnp.asarray(eps, cores[0].dtype), dims, algorithm, rmax_tuple
+    )
+    effs = np.asarray(effs)  # the one sync
+    out_cores, out_us = list(out_cores), list(out_us)
+    for mu in range(N):
+        r = int(effs[mu])
+        out_cores[mu] = out_cores[mu][:, :r, :]
+        out_us[mu] = out_us[mu][:, :r]
+    return out_cores, out_us
 
 
 def round_tt_flops(shapes, rmax: int) -> float:

@@ -88,45 +88,103 @@ def _broadcast(a: "Tensor", b: "Tensor"):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("batch",))
-def _cp_als_iter(data, unfs, cores, batch=False):
-    """One CP-ALS sweep over all modes + relative-error check, jitted
-    (reference tensor.py:323-379, minus the eager per-op dispatch and with
-    the O(I^N) error check fused into the same XLA program)."""
-    N = len(cores)
+def _cp_khatri_asc(cores, batch):
+    """Khatri-Rao product of a list of CP factors, rows in C order (earlier
+    modes slower) so they align with trailing/leading reshapes of the data."""
     R = cores[0].shape[-1]
-    dtype = data.dtype
+    bshape = cores[0].shape[:1] if batch else ()
+    k = cores[0]
+    for c in cores[1:]:
+        k = (k[..., :, None, :] * c[..., None, :, :]).reshape(bshape + (-1, R))
+    return k
+
+
+@_partial(jax.jit, static_argnames=("batch",))
+def _cp_als_iter(data, cores, normsq_data, batch=False):
+    """One CP-ALS sweep over all modes + relative-error check, jitted
+    (reference tensor.py:323-379). Two departures from the reference's eager
+    loop, both layout-driven: (1) the MTTKRP right-hand sides use the
+    3-GEMM split  rhs_n = sum_l [reshape(data,(L*I_n,T)) @ KR]_{l,i,r} KL_{l,r}
+    on the ORIGINAL data layout — no mode-n unfolding (permuted 16MB copy)
+    is ever materialized; (2) the per-sweep error check uses the compressed
+    identity ||data - X||^2 = ||data||^2 - 2<data,X> + ||X||^2 whose terms
+    fall out of the final mode's normal equations for free, replacing the
+    reference's O(I^N) dense reconstruction per iteration (its known defect,
+    SURVEY.md section 7)."""
+    N = len(cores)
+    bdims = 1 if batch else 0
     bshape = data.shape[:1] if batch else ()
+    shapes = data.shape[bdims:]
+    R = cores[0].shape[-1]
     cores = list(cores)
     grams = [jnp.swapaxes(c, -1, -2) @ c for c in cores]
+    ones = jnp.ones(grams[0].shape, dtype=data.dtype)
+    rhs = prod = None
     for n in range(N):
-        khatri = jnp.ones(bshape + (1, R), dtype=dtype)
-        prod = jnp.ones(bshape + (R, R), dtype=dtype)
-        for m in range(N - 1, -1, -1):
+        prod = ones
+        for m in range(N):
             if m != n:
                 prod = prod * grams[m]
-                khatri = jnp.einsum("...ir,...jr->...ijr", cores[m], khatri).reshape(
-                    bshape + (-1, R)
-                )
-        rhs = jnp.swapaxes(unfs[n] @ khatri, -1, -2)
-        # Least-squares via pinv (batched; TPU has no LAPACK gelsd)
-        sol = jnp.linalg.pinv(prod) @ rhs
+        L = int(np.prod(shapes[:n], dtype=np.int64))
+        if n == N - 1:
+            # Trailing mode: rhs = unf^T @ KL as a transposed GEMM (no copy)
+            M2 = data.reshape(bshape + (L, shapes[n]))
+            KL = _cp_khatri_asc(cores[:n], batch)
+            rhs = jnp.einsum("...li,...lr->...ir", M2, KL)
+        else:
+            KR = _cp_khatri_asc(cores[n + 1:], batch)  # (..., T, R)
+            Y = (data.reshape(bshape + (L * shapes[n], -1)) @ KR).reshape(
+                bshape + (L, shapes[n], R)
+            )
+            if n == 0:
+                rhs = Y.reshape(bshape + (shapes[0], R))
+            else:
+                KL = _cp_khatri_asc(cores[:n], batch)
+                rhs = jnp.sum(Y * KL[..., :, None, :], axis=-3)
+        # Least-squares via pinv of the R x R normal matrix (tiny; batched)
+        sol = jnp.linalg.pinv(prod) @ jnp.swapaxes(rhs, -1, -2)
         cores[n] = jnp.swapaxes(sol, -1, -2)
         grams[n] = jnp.swapaxes(cores[n], -1, -2) @ cores[n]
 
-    # Fused reconstruction error
-    kr = cores[0]
-    for m in range(1, N):
-        kr = jnp.einsum("...ir,...jr->...ijr", kr, cores[m]).reshape(bshape + (-1, R))
-    full = jnp.sum(kr, axis=-1).reshape(data.shape)
-    err = data - full
-    if batch:
-        num = jnp.sqrt(jnp.sum(err**2, axis=tuple(range(1, err.ndim))))
-        den = jnp.sqrt(jnp.sum(data**2, axis=tuple(range(1, data.ndim))))
-        rel = jnp.mean(num / den)
-    else:
-        rel = jnp.linalg.norm(err.reshape(-1)) / jnp.linalg.norm(data.reshape(-1))
+    # Compressed error: <data, X> = sum(rhs_last * core_last); ||X||^2 =
+    # sum(prod_other * gram_last). Matches the dense check to roundoff.
+    red = (-2, -1) if batch else None
+    dot_dx = jnp.sum(rhs * cores[N - 1], axis=red)
+    normsq_x = jnp.sum(prod * grams[N - 1], axis=red)
+    relsq = jnp.clip(normsq_data - 2 * dot_dx + normsq_x, min=0) / normsq_data
+    rel = jnp.mean(jnp.sqrt(relsq)) if batch else jnp.sqrt(relsq)
     return tuple(cores), rel
+
+
+@_partial(jax.jit, static_argnames=("R", "batch"))
+def _cp_hosvd_factors(data, R, batch=False):
+    """Init factors for CP-ALS as one XLA program: SEQUENTIALLY truncated
+    HOSVD (Vannieuwenhoven et al., SIAM JSC 2012). Mode n's factor comes
+    from the Gram of the data already projected onto factors 0..n-1, so only
+    mode 0 touches the full tensor — one syrk-shaped GEMM on the original
+    layout (no permuted unfolding copies) — and every later Gram is on the
+    R x ... projected core (negligible). Equal quality as an ALS initializer
+    to the reference's plain HOSVD (tensor.py:217-277), which the first ALS
+    sweep supersedes anyway; the eps trajectory may differ in late digits."""
+    bdims = 1 if batch else 0
+    N = data.ndim - bdims
+    bshape = data.shape[:1] if batch else ()
+    shapes = data.shape[bdims:]
+    core = data.reshape(bshape + (1,) + tuple(shapes))
+    factors = []
+    for n in range(N):
+        P = core.shape[bdims]
+        I = shapes[n]
+        M = core.reshape(bshape + (P, I, -1))
+        gram = jnp.einsum("...pit,...pjt->...ij", M, M)
+        _, eigvecs = jnp.linalg.eigh(gram)
+        U = eigvecs[..., ::-1][..., : min(R, I)]  # (..., I, r)
+        factors.append(U)
+        if n < N - 1:
+            core = jnp.einsum("...pit,...ir->...prt", M, U).reshape(
+                bshape + (P * U.shape[-1],) + tuple(shapes[n + 1:])
+            )
+    return tuple(factors)
 
 
 class Tensor:
@@ -163,6 +221,9 @@ class Tensor:
             mn = 3 if batch else 2  # CP core ndim
             mx = mn + 1  # TT core ndim
             data = [asarray(d) for d in data]
+            if device is not None:
+                # Honor device= for core lists too (reference tensor.py:195-202)
+                data = [jax.device_put(d, device) for d in data]
             if not all(mn <= d.ndim <= mx for d in data):
                 raise ValueError(
                     "All tensor cores must have 2 (for CP) or 3 (for TT) dimensions"
@@ -259,13 +320,10 @@ class Tensor:
         dtype = data.dtype
 
         if ranks_tucker is None:
-            # HOSVD init: leading eigenvectors of each mode's Gram matrix
+            # ST-HOSVD init, all modes in one jitted program (random pad
+            # only if R > I)
             self.cores = []
-            for n in range(N):
-                unf = tn.unfolding(data, n, batch)
-                gram = unf @ jnp.swapaxes(unf, -1, -2)
-                _, eigvecs = jnp.linalg.eigh(gram)
-                core = eigvecs[..., ::-1][..., :ranks_cp]  # descending eigenvalue order
+            for core in _cp_hosvd_factors(data, int(ranks_cp), batch):
                 if core.shape[-1] < ranks_cp:
                     pad = jax.random.normal(
                         tn.utils.next_key(),
@@ -292,11 +350,11 @@ class Tensor:
 
         errors = []
         cores = tuple(self.cores)
-        # Mode unfoldings are constant across sweeps: compute once
-        unfs = tuple(tn.unfolding(data, n, batch) for n in range(N))
+        sum_axes = tuple(range(1, data.ndim)) if batch else None
+        normsq_data = jnp.sum(data * data, axis=sum_axes)
         for it in range(max_iter):
             # One full ALS sweep + error check as a single jitted XLA program
-            cores, rel = _cp_als_iter(data, unfs, cores, batch)
+            cores, rel = _cp_als_iter(data, cores, normsq_data, batch)
             errors.append(float(rel))
             if verbose:
                 print(f"iter: {it} | eps: {errors[-1]:.8f}")
@@ -1158,6 +1216,57 @@ class Tensor:
 
         for m in dim:
             self.cores[m] = self._cp_to_tt(self.cores[m])
+
+        if (
+            algorithm in ("eig", "svd")
+            and self.batch
+            and all(U is None for U in self.Us)
+            and all(self._is_tt(c) for c in self.cores)
+            and not jnp.iscomplexobj(self.cores[0])
+        ):
+            # Batch Tucker rounding: fixed rank min(rmax, full) per factor
+            # (the reference's batch truncated_svd rule) — the non-batch
+            # masked kernel vmapped with eps=0, so batch-vs-loop agreement
+            # is exact per sample (tests/test_tensor.py)
+            from tntorch_tpu.ops.rounding import round_tucker_eps_batch
+
+            dtype = self.cores[0].dtype
+            us = [jnp.eye(self.shape[n + 1], dtype=dtype) for n in range(N)]
+            with tn.utils.trace_annotation("tn.round_tucker:batch_kernel"):
+                self.cores, self.Us = round_tucker_eps_batch(
+                    tuple(self.cores), tuple(us),
+                    rmax=rmax, dims=tuple(dim), algorithm=algorithm,
+                )
+            return
+
+        if (
+            algorithm in ("eig", "svd")
+            and not self.batch
+            and all(U is None for U in self.Us)
+            and all(self._is_tt(c) for c in self.cores)
+            and not jnp.iscomplexobj(self.cores[0])
+        ):
+            # Adaptive Tucker-eps fast path for pure-TT input (the common
+            # flow: dense->TT->round_tucker, and round()'s combined pass):
+            # the whole sweep (orthogonalize, QR pushes, factor truncations)
+            # in ONE jitted program + a single host sync for the effective
+            # ranks (the eager loop below syncs per mode inside
+            # truncated_svd). Pre-existing Us take the eager path, which
+            # factor-orthogonalizes them first.
+            from tntorch_tpu.ops.rounding import round_tucker_eps
+
+            dtype = self.cores[0].dtype
+            us = [
+                jnp.eye(self.shape[n], dtype=dtype) if self.Us[n] is None else self.Us[n]
+                for n in range(N)
+            ]
+            with tn.utils.trace_annotation("tn.round_tucker:eps_kernel"):
+                self.cores, self.Us = round_tucker_eps(
+                    tuple(self.cores), tuple(us), eps,
+                    rmax=rmax, dims=tuple(dim), algorithm=algorithm,
+                )
+            return
+
         self.orthogonalize(-1)
         bshape = (self.cores[0].shape[0],) if self.batch else ()
         for mu in range(N - 1, -1, -1):
@@ -1199,17 +1308,30 @@ class Tensor:
         assert len(rmax) == N - 1
 
         if (
-            algorithm == "eig"
-            and not self.batch
+            algorithm in ("eig", "svd")
+            and not verbose
             and all(U is None for U in self.Us)
             and not jnp.iscomplexobj(self.cores[0])
         ):
+            if self.batch:
+                # Batch rounding keeps fixed rank min(rmax, rows, cols) per
+                # edge (reference round.py:149-150, no error budget): the
+                # non-batch masked kernel vmapped with eps=0, so batch and
+                # per-sample results agree exactly (tests/test_tensor.py).
+                from tntorch_tpu.ops.rounding import round_tt_batch
+
+                self._cp_to_tt()
+                with tn.utils.trace_annotation("tn.round_tt:batch_kernel"):
+                    self.cores = round_tt_batch(tuple(self.cores), rmax, algorithm)
+                return
             # Adaptive-eps fast path: masked truncation in ONE jitted program
-            # + a single host sync for the effective ranks
+            # + a single host sync for the effective ranks ('eig' uses Gram
+            # spectra, 'svd' a true per-mode SVD — the reference's default)
             from tntorch_tpu.ops.rounding import round_tt_eps
 
             self._cp_to_tt()
-            self.cores = round_tt_eps(tuple(self.cores), eps, rmax)
+            with tn.utils.trace_annotation("tn.round_tt:eps_kernel"):
+                self.cores = round_tt_eps(tuple(self.cores), eps, rmax, algorithm=algorithm)
             return
 
         if algorithm == "gram":
@@ -1221,10 +1343,11 @@ class Tensor:
 
             self._cp_to_tt()
             rt = tuple(int(r) for r in rmax)
-            if self.batch:
-                out = jax.vmap(lambda *cs: tuple(round_tt_gram(cs, rt)))(*self.cores)
-            else:
-                out = round_tt_gram(tuple(self.cores), rt)
+            with tn.utils.trace_annotation("tn.round_tt:gram_kernel"):
+                if self.batch:
+                    out = jax.vmap(lambda *cs: tuple(round_tt_gram(cs, rt)))(*self.cores)
+                else:
+                    out = round_tt_gram(tuple(self.cores), rt)
             self.cores = list(out)
             return
 

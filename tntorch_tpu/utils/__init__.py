@@ -48,6 +48,44 @@ class trace_annotation:
         return False
 
 
+_PRECISION_MODES = ("highest", "high", "default", "bf16")
+_precision_policy = "highest"
+
+
+def set_policy(precision: str) -> None:
+    """Set the library-wide matmul precision policy (SURVEY.md hard part #5).
+
+    - ``"highest"`` (default): full-precision matmuls — on TPU, f32 inputs
+      use 6-pass bf16 emulation. The mode every f64 parity test runs in.
+    - ``"high"``: 3-pass bf16 on TPU (~1e-6 relative error per contraction).
+    - ``"default"``: XLA's fastest mode — single-pass bf16 multiplies with
+      f32 accumulation on TPU (~1e-3 per contraction).
+    - ``"bf16"``: kernels additionally cast their large operands to bfloat16
+      and keep f32 accumulation + f32 factorizations (eigh/cholesky/solves).
+      Expect ~1e-2 relative error; use when HBM bandwidth dominates.
+
+    Error-budget consequence: `eps`-driven rounding decisions compare
+    singular-value tails against eps*||t||; below the mode's contraction
+    error (see above) the decisions become noise, so eps targets tighter
+    than ~10x the per-contraction error are not meaningful in the lower
+    modes. Kernels that accept a ``precision=`` argument use it over the
+    policy; eager jnp code paths follow jax's own default unless jitted
+    under `jax.default_matmul_precision`.
+    """
+    global _precision_policy
+    if precision not in _PRECISION_MODES:
+        raise ValueError(f"precision must be one of {_PRECISION_MODES}")
+    _precision_policy = precision
+
+
+def get_policy() -> str:
+    return _precision_policy
+
+
+def resolve_precision(precision=None) -> str:
+    return _precision_policy if precision is None else precision
+
+
 def enable_compilation_cache(path=None):
     """Enable JAX's persistent compilation cache (recommended on TPU, where
     first-time compilation of the many small shapes dominates; do NOT share
