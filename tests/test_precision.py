@@ -64,3 +64,30 @@ def test_policy_plumbing():
         tn.utils.set_policy("highest")
     with pytest.raises(ValueError):
         tn.utils.set_policy("fp8")
+
+
+def test_cholesky_qr2_fast_path():
+    # Performance precision modes switch the orthogonalization sweep to
+    # CholeskyQR2; results must match the Householder path (well within the
+    # mode's tolerance; here f64 + well-separated spectrum -> ~1e-15)
+    g_cores = _make_cores(jnp.float64)
+    from tntorch_tpu.ops.rounding import round_tt_eps, tt_full
+
+    ref = round_tt_eps(g_cores, 1e-8)
+    tn.set_policy("high")
+    try:
+        fast = round_tt_eps(g_cores, 1e-8)
+    finally:
+        tn.set_policy("highest")
+    assert [c.shape for c in ref] == [c.shape for c in fast]
+    a, b = np.asarray(tt_full(tuple(ref))), np.asarray(tt_full(tuple(fast)))
+    assert np.linalg.norm(a - b) / np.linalg.norm(a) < 1e-12
+
+    # orthogonality of the CholeskyQR2 factor itself
+    from tntorch_tpu.ops.rounding import cholesky_qr2
+
+    M = jnp.asarray(np.random.default_rng(0).standard_normal((512, 32)))
+    Q, R = cholesky_qr2(M)
+    # the 1e-12 relative jitter floors achievable orthogonality around 1e-11
+    assert np.linalg.norm(np.asarray(Q.T @ Q) - np.eye(32)) < 1e-10
+    assert np.linalg.norm(np.asarray(Q @ R) - np.asarray(M)) < 1e-12
