@@ -41,6 +41,39 @@ def main():
     yv = tt_forward_sharded(list(a.cores), X, mesh)
     print("sharded forward:", yv.shape, yv.sharding)
 
+    # Distributed heavy algorithms (round 2): multi-device Gram rounding
+    # (cores sharded along their MODE dims, one psum per edge) ...
+    from tntorch_tpu.parallel import (
+        round_tt_batch_sharded, round_tt_gram_sharded, shard_array,
+    )
+
+    s = a + a  # rank doubles to 16
+    rounded = round_tt_gram_sharded(list(s.cores), 8, mesh, axis="tp")
+    t_r = tn.Tensor([np.asarray(c) for c in rounded])
+    print("sharded Gram rounding:", list(t_r.ranks_tt),
+          " rel-err vs 2a:", float(tn.relative_error(a * 2, t_r)))
+
+    # ... batch-sharded rounding (batch dim over dp, no communication) ...
+    sb = tbs + tbs
+    brounded = round_tt_batch_sharded(list(sb.cores), 4, mesh, axis="dp")
+    print("batch-sharded rounding:", [c.shape for c in brounded][:2])
+
+    # ... and dp-sharded training: replicated cores + sharded samples ->
+    # XLA inserts the gradient psum (optimize(..., mesh=))
+    import optax
+
+    w = tn.rand([16] * 4, ranks_tt=4, requires_grad=True)
+    Xs = shard_array(np.random.default_rng(1).integers(0, 16, (64 * shape[0], 4)).astype(np.int32), mesh)
+    ys = shard_array(np.asarray(a.numpy()[tuple(np.asarray(Xs).T)]), mesh)
+
+    def loss(t):
+        pred = tn.parallel.tt_batch_forward(list(t.cores), Xs)
+        return jnp.mean((pred - ys) ** 2)
+
+    hist = tn.optimize(w, loss, optimizer=optax.adam(1e-2), max_iter=50,
+                       tol=None, verbose=False, mesh=mesh)
+    print(f"dp-sharded optimize: loss {hist[0]:.4f} -> {hist[-1]:.4f}")
+
 
 if __name__ == "__main__":
     main()

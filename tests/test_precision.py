@@ -91,3 +91,26 @@ def test_cholesky_qr2_fast_path():
     # the 1e-12 relative jitter floors achievable orthogonality around 1e-11
     assert np.linalg.norm(np.asarray(Q.T @ Q) - np.eye(32)) < 1e-10
     assert np.linalg.norm(np.asarray(Q @ R) - np.asarray(M)) < 1e-12
+
+
+def test_round_tt_gram_rank_deficient_f32():
+    # Regression: rounding a rank-deficient TT (t+t) in f32 must not NaN —
+    # the prefix Grams are exactly singular there, which killed the old
+    # jittered-Cholesky square root
+    rng = np.random.default_rng(7)
+    ranks = [1, 8, 8, 8, 1]
+    cores = [
+        jnp.asarray(rng.standard_normal((ranks[n], 16, ranks[n + 1])), jnp.float32)
+        / np.sqrt(8)
+        for n in range(4)
+    ]
+    import tntorch_tpu as tn2
+
+    a = tn2.Tensor([c for c in cores])
+    s = a + a
+    out = round_tt_gram(tuple(s.cores), 8)
+    for c in out:
+        assert not bool(jnp.isnan(c).any())
+    ref = np.asarray(tt_full(tuple(cores))) * 2
+    got = np.asarray(tt_full(tuple(out)))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4

@@ -125,14 +125,24 @@ def _tt_dot_body(cores1, cores2):
     return jnp.sum(L)
 
 
-def _sqrt_factor(G, eps_rel=1e-12):
-    """Symmetric PSD square-root factor F (G = F F^T) and its inverse-transpose
-    action, via eigh (robust to semi-definiteness, unlike Cholesky)."""
-    w, V = jnp.linalg.eigh(G)
-    w = jnp.maximum(w, eps_rel * jnp.max(jnp.abs(w)))
-    s = jnp.sqrt(w)
-    F = V * s[None, :]          # G = F F^T
-    Finv = V / s[None, :]       # F^{-T} = Finv (since F^T = s V^T)
+def _sqrt_factor(G, eps_rel=None):
+    """Symmetric PSD square-root factor F (G ~= F F^T) and its inverse-
+    transpose Finv = F^{-T}, via jittered Cholesky.
+
+    Rank-deficient input is common here (rounding t+t makes the prefix Gram
+    exactly singular), so the jitter must dominate the Gram's own roundoff
+    negatives, which scale like eps(dtype) * lambda_max <= eps * trace(G):
+    a trace-SCALED (not trace/n) dtype-aware jitter guarantees positive
+    definiteness without the extra eigh a spectral square root would cost
+    (an eigh per edge costs ~20% of the whole rounding sweep on TPU)."""
+    if eps_rel is None:
+        eps_rel = 1e-12 if G.dtype == jnp.float64 else 1e-6
+    n = G.shape[0]
+    jitter = eps_rel * jnp.trace(G) + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
+    F = jnp.linalg.cholesky(G + jitter * jnp.eye(n, dtype=G.dtype))  # lower
+    from jax.scipy.linalg import solve_triangular
+
+    Finv = solve_triangular(F, jnp.eye(n, dtype=G.dtype), lower=True, trans=1)
     return F, Finv
 
 
@@ -174,8 +184,6 @@ def _round_tt_gram_bf16_jit(cores, rmax):
     operands are upcast to f32 at the dot (portable: XLA-CPU lacks a
     BF16xBF16=F32 dot thunk; on TPU the convert fuses into the single-pass
     bf16 MXU read under 'default' precision)."""
-    from jax.scipy.linalg import solve_triangular
-
     f32 = jnp.float32
     bf = jnp.bfloat16
     in_dtype = cores[0].dtype
@@ -198,14 +206,14 @@ def _round_tt_gram_bf16_jit(cores, rmax):
         C = cores[k - 1]
         CL = mm("ac,aib->cib", L, C).astype(bf)
         Lk = mm("cib,cid->bd", CL, C)
-        jitter = 1e-3 * jnp.trace(Lk) / Lk.shape[0] + jnp.asarray(1e-30, f32)
-        F = jnp.linalg.cholesky(Lk + jitter * jnp.eye(Lk.shape[0], dtype=f32))
+        # bf16 contraction noise floors the spectrum around 1e-3 relative
+        F, Finv = _sqrt_factor(Lk, eps_rel=1e-3)
         A = F.T @ G[k] @ F
         _, V = jnp.linalg.eigh(A)
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
         U = V[:, ::-1][:, :r]
-        X = solve_triangular(F, U, trans=1, lower=True)
+        X = Finv @ U
         Y = U.T @ F.T
         cores[k - 1] = mm("aib,bc->aic", C, X).astype(bf)
         nxt = cores[k]
@@ -232,16 +240,14 @@ def _round_tt_gram_body(cores, rmax):
         G[k - 1] = jnp.einsum("aic,dic->ad", T, C)
 
     # Left sweep: truncate each interior edge via small symmetric eigenproblems
-    from jax.scipy.linalg import solve_triangular
-
     L = jnp.ones((1, 1), dtype=dtype)
     for k in range(1, N):
         C = cores[k - 1]
         # Left Gram of the prefix ending at edge k
         Lk = jnp.einsum("aib,ac,cid->bd", C, L, C)
-        # Cholesky square root with relative jitter (PSD, possibly singular)
-        jitter = 1e-7 * jnp.trace(Lk) / Lk.shape[0] + jnp.asarray(1e-30, dtype)
-        F = jnp.linalg.cholesky(Lk + jitter * jnp.eye(Lk.shape[0], dtype=dtype))  # lower
+        # Eigh-based square root (robust to the exactly-singular Grams that
+        # rank-deficient input produces; a jittered Cholesky NaNs in f32)
+        F, Finv = _sqrt_factor(Lk)
         # Edge Gram in the orthonormalized prefix basis: A = F^T G F;
         # its top-r eigenvectors U_r are the left singular vectors of the
         # middle matrix S = F^T H (A = S S^T) — no SVD needed.
@@ -252,7 +258,7 @@ def _round_tt_gram_body(cores, rmax):
         U = V[:, ::-1][:, :r]
         # X = F^{-T} U_r right-multiplies C_k; Y = U_r^T F^T = X^T Lk pushes
         # the middle factor into C_{k+1}
-        X = solve_triangular(F, U, trans=1, lower=True)
+        X = Finv @ U
         Y = U.T @ F.T
         cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
         nxt = cores[k]

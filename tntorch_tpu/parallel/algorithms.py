@@ -26,7 +26,7 @@ def _gram_round_local(cores, rmax, axis):
     """Local (per-shard) body of the two-sided Gram rounding: identical math
     to ops.rounding._round_tt_gram_body, with every contraction over the mode
     index i closed by a psum over `axis` (i is the sharded dimension)."""
-    from jax.scipy.linalg import solve_triangular
+    from tntorch_tpu.ops.rounding import _sqrt_factor
 
     cores = list(cores)
     N = len(cores)
@@ -44,14 +44,14 @@ def _gram_round_local(cores, rmax, axis):
     for k in range(1, N):
         C = cores[k - 1]
         Lk = jax.lax.psum(jnp.einsum("aib,ac,cid->bd", C, L, C), axis)
-        jitter = 1e-7 * jnp.trace(Lk) / Lk.shape[0] + jnp.asarray(1e-30, dtype)
-        F = jnp.linalg.cholesky(Lk + jitter * jnp.eye(Lk.shape[0], dtype=dtype))
+        # Same eigh-based sqrt as the single-device body (rank-deficiency safe)
+        F, Finv = _sqrt_factor(Lk)
         A = F.T @ G[k] @ F
         _, V = jnp.linalg.eigh(A)
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
         U = V[:, ::-1][:, :r]
-        X = solve_triangular(F, U, trans=1, lower=True)
+        X = Finv @ U
         Y = U.T @ F.T
         cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
         nxt = cores[k]
