@@ -13,8 +13,10 @@ two changes:
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,10 +24,61 @@ import tntorch_tpu as tn
 from tntorch_tpu.utils import asarray, default_dtype, to_numpy
 
 
+@jax.jit
+def _als_solve_mode(left, right, y, seg_idx, seg_w):
+    """Solve one ALS mode's per-slice least squares as a single batched XLA
+    program (replacing the reference's per-slice host loop + lstsq,
+    interpolation.py:74-101).
+
+    Samples are grouped by their mode-mu index into padded segments
+    (seg_idx (I, S), pad weight 0): per slice i the design matrix is the
+    Khatri-Rao row l_p (x) r_p over its samples, and the slice solution
+    comes from ridge-regularized normal equations solved batched over I.
+
+    :param left: (P, Rl) left-interface rows; right: (P, Rr); y: (P,)
+    :return: (core slices (I, Rl, Rr), sse)
+    """
+    with jax.default_matmul_precision("highest"):
+        l = left[seg_idx]  # (I, S, Rl)
+        r = right[seg_idx]  # (I, S, Rr)
+        Rl, Rr = left.shape[1], right.shape[1]
+        I, S = seg_idx.shape
+        A = (l[..., :, None] * r[..., None, :]).reshape(I, S, Rl * Rr)
+        A = A * seg_w[..., None]
+        b = y[seg_idx] * seg_w
+        G = jnp.einsum("isa,isb->iab", A, A)
+        rhs = jnp.einsum("isa,is->ia", A, b)
+        tr = jnp.trace(G, axis1=-2, axis2=-1)[:, None, None]
+        ridge = 1e-13 * tr + jnp.finfo(A.dtype).tiny
+        sol = jnp.linalg.solve(G + ridge * jnp.eye(Rl * Rr, dtype=A.dtype), rhs[..., None])[..., 0]
+        resid = jnp.einsum("isa,ia->is", A, sol) - b
+        return sol.reshape(I, Rl, Rr), jnp.sum(resid**2)
+
+
+def _mode_segments(X, mu, I, ws):
+    """Group sample rows by their mode-mu index into zero-weight-padded
+    segments: (seg_idx (I, S_max), seg_w (I, S_max))."""
+    order = np.argsort(X[:, mu], kind="stable")
+    vals = X[order, mu]
+    starts = np.searchsorted(vals, np.arange(I + 1))
+    sizes = np.diff(starts)
+    S = max(1, int(sizes.max()))
+    seg_idx = np.zeros((I, S), dtype=np.int32)
+    seg_w = np.zeros((I, S), dtype=np.float64)
+    wsn = np.asarray(ws)
+    for i in range(I):
+        sl = order[starts[i]:starts[i + 1]]
+        seg_idx[i, : len(sl)] = sl
+        seg_w[i, : len(sl)] = wsn[sl]
+    return jnp.asarray(seg_idx), jnp.asarray(seg_w, dtype=wsn.dtype)
+
+
 def als_completion(X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbose=True):
     """Complete a TT from P (index, value) samples by alternating least
     squares with memoized left/right product chains
-    (reference interpolation.py:9-119)."""
+    (reference interpolation.py:9-119). Each mode's per-slice least-squares
+    solves run as one batched jitted program (see _als_solve_mode) instead
+    of the reference's per-slice host loop."""
     X = np.asarray(to_numpy(X))
     assert not np.issubdtype(X.dtype, np.floating)
     assert X.ndim == 2
@@ -58,25 +111,18 @@ def als_completion(X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbo
     for dim in range(N - 2, -1, -1):
         rights[dim] = jnp.einsum("ijk,kjl->ijl", cores[dim + 1][:, X[:, dim + 1], :], rights[dim + 1])
 
+    segments = [_mode_segments(X, mu, x0.shape[mu], ws) for mu in range(N)]
+
     def optimize_core(mu, direction):
-        sse = 0.0
-        core = cores[mu]
-        for index in range(core.shape[1]):
-            idx = np.where(X[:, mu] == index)[0]
-            leftside = lefts[mu][0, idx, :]
-            rightside = rights[mu][:, idx, 0]
-            # Columns ordered (r_left, r_right) so the solution reshapes
-            # directly into the core slice. (The reference builds the design
-            # matrix in (r_right, r_left) order but reshapes as (r_left,
-            # r_right) — interpolation.py:80-88 — a latent defect.)
-            lhs = leftside[:, :, None]
-            rhs = rightside.T[:, None, :]
-            A = (lhs * rhs).reshape(len(idx), -1) * ws[idx, None]
-            b = y[idx] * ws[idx]
-            sol, *_ = jnp.linalg.lstsq(A, b)
-            sse = sse + jnp.sum((A @ sol - b) ** 2)
-            core = core.at[:, index, :].set(sol.reshape(core.shape[0], core.shape[2]))
-        cores[mu] = core
+        # Columns ordered (r_left, r_right) so the solution reshapes
+        # directly into the core slice. (The reference builds the design
+        # matrix in (r_right, r_left) order but reshapes as (r_left,
+        # r_right) — interpolation.py:80-88 — a latent defect.)
+        seg_idx, seg_w = segments[mu]
+        slices, sse = _als_solve_mode(
+            lefts[mu][0], rights[mu][:, :, 0].T, y, seg_idx, seg_w
+        )
+        cores[mu] = jnp.transpose(slices, (1, 0, 2))
         if direction == "right":
             x0.left_orthogonalize(mu)
             lefts[mu + 1] = jnp.einsum("ijk,kjl->ijl", lefts[mu], cores[mu][:, X[:, mu], :])
