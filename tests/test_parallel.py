@@ -206,3 +206,24 @@ def test_optimize_mesh_dp_matches_single_device():
     assert np.allclose(hist0, hist1, atol=1e-12)
     for c0, c1 in zip(t0.cores, t1.cores):
         assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-12)
+
+
+@needs_8
+def test_als_completion_mesh_matches_single_device():
+    rng = np.random.default_rng(2)
+    mesh = make_mesh((8, 1), ("dp", "tp"))
+    N, I, R, P = 3, 12, 3, 1500
+    gt = tn.rand([I] * N, ranks_tt=R)
+    X = rng.integers(0, I, (P, N))
+    for n in range(N):
+        X[:I, n] = np.arange(I)
+    yv = jnp.asarray(gt.numpy()[tuple(X.T)])
+    tn.utils.seed(11)
+    r0 = tn.als_completion(X, yv, ranks_tt=R, shape=[I] * N, niter=6, verbose=False)
+    tn.utils.seed(11)
+    r1 = tn.als_completion(
+        X, yv, ranks_tt=R, shape=[I] * N, niter=6, verbose=False, mesh=mesh
+    )
+    assert np.allclose(r0.numpy(), r1.numpy(), atol=1e-10)
+    err = np.linalg.norm(r1.numpy() - gt.numpy()) / np.linalg.norm(gt.numpy())
+    assert err < 1e-2

@@ -73,12 +73,22 @@ def _mode_segments(X, mu, I, ws):
     return jnp.asarray(seg_idx), jnp.asarray(seg_w, dtype=wsn.dtype)
 
 
-def als_completion(X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbose=True):
+def als_completion(
+    X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbose=True, mesh=None
+):
     """Complete a TT from P (index, value) samples by alternating least
     squares with memoized left/right product chains
     (reference interpolation.py:9-119). Each mode's per-slice least-squares
     solves run as one batched jitted program (see _als_solve_mode) instead
-    of the reference's per-slice host loop."""
+    of the reference's per-slice host loop.
+
+    :param mesh: optional jax.sharding.Mesh — the per-slice solves (which
+        are mutually independent) shard over the mesh's first axis:
+        segment tables are placed slice-sharded and XLA partitions the
+        batched gather/normal-equation/solve pipeline with no communication
+        beyond the scalar SSE reduction. Mode sizes are padded to the axis
+        size with empty slices.
+    """
     X = np.asarray(to_numpy(X))
     assert not np.issubdtype(X.dtype, np.floating)
     assert X.ndim == 2
@@ -112,6 +122,21 @@ def als_completion(X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbo
         rights[dim] = jnp.einsum("ijk,kjl->ijl", cores[dim + 1][:, X[:, dim + 1], :], rights[dim + 1])
 
     segments = [_mode_segments(X, mu, x0.shape[mu], ws) for mu in range(N)]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ax = mesh.axis_names[0]
+        nsh = mesh.shape[ax]
+        sh = NamedSharding(mesh, PartitionSpec(ax, None))
+
+        def _shard_seg(si, sw):
+            pad = (-si.shape[0]) % nsh
+            if pad:  # empty slices: zero weight contributes nothing
+                si = jnp.pad(si, ((0, pad), (0, 0)))
+                sw = jnp.pad(sw, ((0, pad), (0, 0)))
+            return jax.device_put(si, sh), jax.device_put(sw, sh)
+
+        segments = [_shard_seg(si, sw) for si, sw in segments]
 
     def optimize_core(mu, direction):
         # Columns ordered (r_left, r_right) so the solution reshapes
@@ -122,7 +147,7 @@ def als_completion(X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbo
         slices, sse = _als_solve_mode(
             lefts[mu][0], rights[mu][:, :, 0].T, y, seg_idx, seg_w
         )
-        cores[mu] = jnp.transpose(slices, (1, 0, 2))
+        cores[mu] = jnp.transpose(slices[: x0.shape[mu]], (1, 0, 2))
         if direction == "right":
             x0.left_orthogonalize(mu)
             lefts[mu + 1] = jnp.einsum("ijk,kjl->ijl", lefts[mu], cores[mu][:, X[:, mu], :])
