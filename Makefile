@@ -10,6 +10,9 @@ $(NATIVE): csrc/maxvol.cpp
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
 test:
+	python -m pytest tests/ -q -n 4
+
+test-serial:
 	python -m pytest tests/ -q
 
 bench:

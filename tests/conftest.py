@@ -7,6 +7,7 @@
 """
 
 import os
+import tempfile
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -16,3 +17,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache shared by all xdist workers (and across
+# runs): the suite's wall time is dominated by XLA compiles of the many
+# random-rank program shapes, and every worker otherwise recompiles the
+# same programs. min_entry_size -1 + min_compile_time 0 admit the small
+# CPU executables that the defaults would skip.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TNT_TEST_CACHE", os.path.join(tempfile.gettempdir(), "tnt_test_xla_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

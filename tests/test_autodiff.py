@@ -1,6 +1,7 @@
 """optimize() / dof tests (module untested in the reference; SURVEY.md section 4)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
@@ -41,3 +42,57 @@ def test_grad_flows_through_ops():
     g = jax.grad(loss)(t.cores)
     assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
     assert any(float(np.abs(np.asarray(gi)).max()) > 0 for gi in g)
+
+
+def test_set_factors_freezes_only_factors():
+    """set_factors(..., requires_grad=False) freezes the factors but keeps the
+    cores trainable (reference tensor.py:2157-2189 semantics: the flag applies
+    to the new factor nodes, never to the whole tensor)."""
+    import optax
+
+    t = tn.rand([8] * 3, ranks_tt=2, ranks_tucker=3, requires_grad=True,
+                key=jax.random.key(0))
+    t.set_factors("legendre", requires_grad=False)
+    # dof counts cores only (frozen Us excluded; reference autodiff.py:104-121)
+    expected_core_dof = sum(int(np.prod(c.shape)) for c in t.cores)
+    assert tn.dof(t) == expected_core_dof
+
+    Us_before = [np.asarray(U) for U in t.Us]
+    cores_before = [np.asarray(c) for c in t.cores]
+    target = jnp.asarray(np.random.default_rng(0).standard_normal([8] * 3))
+
+    def loss(t):
+        return tn.dist(t, tn.Tensor(target, ranks_tt=4)) ** 2
+
+    tn.optimize(t, loss, optimizer=optax.adam(1e-2), max_iter=10, tol=None,
+                verbose=False)
+    # Cores moved, frozen factors did not
+    assert any(
+        float(np.abs(np.asarray(c) - c0).max()) > 1e-12
+        for c, c0 in zip(t.cores, cores_before)
+    )
+    for U, U0 in zip(t.Us, Us_before):
+        np.testing.assert_array_equal(np.asarray(U), U0)
+
+
+def test_set_factors_trainable_factors_move():
+    import optax
+
+    t = tn.rand([8] * 3, ranks_tt=2, ranks_tucker=3, requires_grad=True,
+                key=jax.random.key(1))
+    t.set_factors("legendre", requires_grad=True)
+    assert tn.dof(t) == sum(int(np.prod(c.shape)) for c in t.cores) + sum(
+        int(np.prod(U.shape)) for U in t.Us
+    )
+    Us_before = [np.asarray(U) for U in t.Us]
+    target = jnp.asarray(np.random.default_rng(1).standard_normal([8] * 3))
+
+    def loss(t):
+        return tn.dist(t, tn.Tensor(target, ranks_tt=4)) ** 2
+
+    tn.optimize(t, loss, optimizer=optax.adam(1e-2), max_iter=10, tol=None,
+                verbose=False)
+    assert any(
+        float(np.abs(np.asarray(U) - U0).max()) > 1e-12
+        for U, U0 in zip(t.Us, Us_before)
+    )

@@ -27,9 +27,13 @@ def _get_params(tensors):
             if t.batch:
                 raise ValueError("Batched tensors are not supported.")
             if t.requires_grad:
+                frozen = getattr(t, "frozen_Us", ())
                 params[i] = {
                     "cores": list(t.cores),
-                    "Us": [U for U in t.Us if U is not None],
+                    # Frozen factors (set_factors(..., requires_grad=False))
+                    # are closure constants, not trainable leaves
+                    "Us": {m: U for m, U in enumerate(t.Us)
+                           if U is not None and m not in frozen},
                 }
         elif getattr(t, "requires_grad", False) or (
             hasattr(t, "ndim") and getattr(t, "requires_grad", False)
@@ -44,8 +48,8 @@ def _set_params(tensors, params):
         if i in params and isinstance(t, tn.Tensor):
             t2 = t.clone()
             t2.cores = list(params[i]["cores"])
-            us = list(params[i]["Us"])
-            t2.Us = [us.pop(0) if U is not None else None for U in t.Us]
+            us = params[i]["Us"]
+            t2.Us = [us.get(m, U) for m, U in enumerate(t.Us)]
             out.append(t2)
         elif i in params:
             out.append(params[i])
@@ -247,9 +251,10 @@ def dof(t):
     """Degrees of freedom: total size of trainable nodes (reference autodiff.py:104-121)."""
     if not getattr(t, "requires_grad", False):
         return 0
+    frozen = getattr(t, "frozen_Us", ())
     result = 0
     for n in range(t.dim()):
         result += int(np.prod(t.cores[n].shape))
-        if t.Us[n] is not None:
+        if t.Us[n] is not None and n not in frozen:
             result += int(np.prod(t.Us[n].shape))
     return result

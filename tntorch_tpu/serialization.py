@@ -23,6 +23,7 @@ def save(t, path):
         "n_cores": t.dim(),
         "batch": bool(t.batch),
         "us_mask": [U is not None for U in t.Us],
+        "frozen_Us": sorted(int(m) for m in getattr(t, "frozen_Us", ())),
         "version": 1,
     }
     for n, c in enumerate(t.cores):
@@ -97,4 +98,6 @@ def load(path):
         idxs.append(np.asarray(data[key]) if key in data else None)
     if not any(i is not None for i in idxs):
         idxs = None
-    return tn.Tensor(cores, Us=Us, idxs=idxs, batch=meta["batch"])
+    t = tn.Tensor(cores, Us=Us, idxs=idxs, batch=meta["batch"])
+    t.frozen_Us = set(meta.get("frozen_Us", ()))
+    return t

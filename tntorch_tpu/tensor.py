@@ -216,6 +216,9 @@ class Tensor:
         """
         self.batch = bool(batch)
         self.requires_grad = bool(requires_grad) if requires_grad is not None else False
+        # Mode indices whose Tucker factor is fixed (not a trainable node) —
+        # the reference expresses this as Us[m].requires_grad=False
+        self.frozen_Us = set()
 
         if isinstance(data, (list, tuple)):
             mn = 3 if batch else 2  # CP core ndim
@@ -1409,7 +1412,13 @@ class Tensor:
     # Miscellaneous
     # ------------------------------------------------------------------
     def set_factors(self, name, dim="all", requires_grad: bool = False):
-        """Set Tucker factors from a named basis family (reference tensor.py:2157-2189)."""
+        """Set Tucker factors from a named basis family (reference tensor.py:2157-2189).
+
+        Like the reference, ``requires_grad`` governs only the NEW FACTORS:
+        with the default False they are frozen (excluded from `tn.optimize`
+        parameters and from `tn.dof`), while the cores' trainability — the
+        tensor-level ``requires_grad`` flag — is left untouched.
+        """
         if dim == "all":
             dim = range(self.dim())
         off = 1 if self.batch else 0
@@ -1422,7 +1431,10 @@ class Tensor:
             if self.batch:
                 U = jnp.tile(U[None], (self.shape[0], 1, 1))
             self.Us[m] = U
-        self.requires_grad = requires_grad
+            if requires_grad:
+                self.frozen_Us.discard(m)
+            else:
+                self.frozen_Us.add(m)
 
     def as_leaf(self):
         """Detach from any autodiff trace (JAX: stop_gradient on all leaves)."""
@@ -1438,6 +1450,7 @@ class Tensor:
             batch=self.batch,
         )
         t.requires_grad = self.requires_grad
+        t.frozen_Us = set(getattr(self, "frozen_Us", ()))
         return t
 
     def numel(self):
@@ -1483,7 +1496,7 @@ def _tensor_flatten(t: Tensor):
     idxs = tuple(
         None if i is None else tuple(np.asarray(i).tolist()) for i in getattr(t, "idxs", [])
     )
-    aux = (t.batch, idxs, t.requires_grad)
+    aux = (t.batch, idxs, t.requires_grad, tuple(sorted(getattr(t, "frozen_Us", ()))))
     return children, aux
 
 
@@ -1494,6 +1507,7 @@ def _tensor_unflatten(aux, children):
     t.batch = aux[0]
     t.idxs = [None if i is None else np.asarray(i) for i in aux[1]]
     t.requires_grad = aux[2]
+    t.frozen_Us = set(aux[3]) if len(aux) > 3 else set()
     return t
 
 
