@@ -85,7 +85,29 @@ def bench_ours_prec(cores_np, rmax, precision, iters=20):
     return (time.perf_counter() - t0) / iters, out
 
 
-def bench_ours_batched(cores_np, rmax, B=32, iters=10):
+def bench_ours_rand(cores_np, rmax, iters=20):
+    """Single-stream randomized-subspace Gram rounding (edge_solver='rand'):
+    no eigh anywhere — quasi-optimal truncation, all MXU matmuls."""
+    import jax.numpy as jnp
+
+    from tntorch_tpu.ops.rounding import round_tt_gram
+
+    cores = tuple(jnp.asarray(c) for c in cores_np)
+    out = round_tt_gram(cores, rmax, edge_solver="rand")
+    _sync(out)
+    out = round_tt_gram(cores, rmax, edge_solver="rand")
+    _sync(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = round_tt_gram(cores, rmax, edge_solver="rand")
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, out
+
+
+def bench_ours_batched(cores_np, rmax, B=32, iters=10, edge_solver="eigh"):
     """vmapped Gram rounding over a batch of B independent TTs — the
     throughput number (single-stream is floored by dispatch latency)."""
     import jax
@@ -102,7 +124,9 @@ def bench_ours_batched(cores_np, rmax, B=32, iters=10):
         for c in cores_np
     )
     fn = jax.jit(
-        jax.vmap(lambda *cs: tuple(_round_tt_gram_body(list(cs), rmax))),
+        jax.vmap(
+            lambda *cs: tuple(_round_tt_gram_body(list(cs), rmax, edge_solver=edge_solver))
+        ),
         static_argnums=(),
     )
     out = fn(*bcores)
@@ -274,6 +298,16 @@ def main():
         extra["tt_round_batched_gflops"] = round(flops / t_batched / 1e9, 1)
     except Exception as e:
         print(f"# batched bench failed: {e}", file=sys.stderr)
+
+    # Randomized-subspace edge solver (round_tt(algorithm='randgram')):
+    # same task at quasi-optimal (vs optimal) truncation error, no eigh
+    try:
+        t_rand, _ = bench_ours_rand(cores_np, rmax)
+        extra["tt_round_rand_gflops"] = round(flops / t_rand / 1e9, 1)
+        t_rand_b = bench_ours_batched(cores_np, rmax, edge_solver="rand")
+        extra["tt_round_rand_batched_gflops"] = round(flops / t_rand_b / 1e9, 1)
+    except Exception as e:
+        print(f"# rand bench failed: {e}", file=sys.stderr)
 
     # Performance-mode numbers (tn.set_policy): fast-f32 and bf16-in/f32-acc
     for key, prec in [("tt_round_f32_gflops", "default"), ("tt_round_bf16_gflops", "bf16")]:

@@ -75,3 +75,34 @@ def test_tt_svd_gram_batch():
     for i in range(3):
         ti = tn.Tensor(jnp.asarray(xb[i]), ranks_tt=4, algorithm="gram")
         assert float(jnp.abs(tb.full()[i] - ti.full()).max()) <= 1e-10
+
+
+def test_round_gram_rand_exact_recovery():
+    """edge_solver='rand' (randomized subspace iteration, no eigh): exact on
+    rank-deficient input (t+t back to the true rank) in f64."""
+    a = tn.randn(12, 13, 14, 15, ranks_tt=4, key=jax.random.key(1))
+    b = a + a
+    cores = tuple(jnp.asarray(c) for c in b.cores)
+    dense = 2 * a.full()
+    out = round_tt_gram(cores, 4, edge_solver="rand")
+    assert [c.shape for c in out] == [(1, 12, 4), (4, 13, 4), (4, 14, 4), (4, 15, 1)]
+    err = float(jnp.linalg.norm(tt_full(list(out)) - dense) / jnp.linalg.norm(dense))
+    assert err <= 1e-9
+
+
+def test_round_gram_rand_quasi_optimal():
+    """On a flat-spectrum random TT (hardest case for subspace iteration),
+    the randomized truncation error stays within a few percent of the
+    optimal (eigh) truncation; the API path is round_tt(algorithm='randgram')."""
+    t = tn.randn(10, 11, 12, 13, ranks_tt=16, key=jax.random.key(2))
+    dense = t.full()
+
+    t1 = t.clone()
+    t1.round_tt(rmax=8, algorithm="gram")
+    e_opt = float(jnp.linalg.norm(t1.full() - dense) / jnp.linalg.norm(dense))
+
+    t2 = t.clone()
+    t2.round_tt(rmax=8, algorithm="randgram")
+    assert [int(r) for r in t2.ranks_tt[1:-1]] == [8, 8, 8]
+    e_rand = float(jnp.linalg.norm(t2.full() - dense) / jnp.linalg.norm(dense))
+    assert e_rand <= e_opt * 1.1 + 1e-12, (e_rand, e_opt)

@@ -146,7 +146,8 @@ def _sqrt_factor(G, eps_rel=None):
     return F, Finv
 
 
-def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None):
+def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
+                  edge_solver: str = "eigh"):
     """Fixed-rank TT rounding WITHOUT orthogonalization sweeps: two-sided
     Gram method (cf. Al Daas, Ballard et al., "Parallel TT rounding based on
     Gram SVD"). Every large operation is a batched matmul (MXU); the only
@@ -160,19 +161,23 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None):
         (``tn.set_policy``): 'highest' | 'high' | 'default' | 'bf16'
         ('bf16' casts the large matmul operands to bfloat16 with f32
         accumulation and f32 factorizations).
+    :param edge_solver: 'eigh' (exact truncation, default) or 'rand'
+        (randomized subspace iteration — no eigh at all, ~2x faster on TPU
+        where each R x R eigh costs ~0.5 ms; truncation error is
+        quasi-optimal rather than optimal).
     """
     from tntorch_tpu.utils import resolve_precision
 
     precision = resolve_precision(precision)
     if precision == "bf16":
         return _round_tt_gram_bf16_jit(tuple(cores), rmax)
-    return _round_tt_gram_prec_jit(tuple(cores), rmax, precision)
+    return _round_tt_gram_prec_jit(tuple(cores), rmax, precision, edge_solver)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _round_tt_gram_prec_jit(cores, rmax, precision):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _round_tt_gram_prec_jit(cores, rmax, precision, edge_solver="eigh"):
     with jax.default_matmul_precision(precision):
-        return _round_tt_gram_body(cores, rmax)
+        return _round_tt_gram_body(cores, rmax, edge_solver=edge_solver)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -226,7 +231,33 @@ def _round_tt_gram_bf16_jit(cores, rmax):
     return [c.astype(in_dtype) for c in cores]
 
 
-def _round_tt_gram_body(cores, rmax):
+def _cholqr(Y):
+    """One CholeskyQR pass (Q only): Gram + jittered Cholesky + triangular
+    solve — fuses to ~nothing inside a jitted program (vs ~0.5 ms per eigh
+    of the same size on TPU)."""
+    from jax.scipy.linalg import solve_triangular
+
+    G = Y.T @ Y
+    jit = 1e-12 * jnp.trace(G) + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
+    R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[0], dtype=Y.dtype), upper=True)
+    return solve_triangular(R, Y.T, lower=False, trans=1).T
+
+
+def _subspace_topr(A, r, q=2):
+    """Orthonormal basis of ~the top-r eigenspace of the PSD matrix A via
+    randomized subspace iteration (Halko-Martinsson-Tropp; cf. Al Daas,
+    Ballard, Kolda et al., randomized TT rounding): q power iterations with
+    CholeskyQR re-orthogonalization — all MXU matmuls, no eigh. A is already
+    a Gram matrix (eigenvalues = sigma^2), so each iteration sharpens the
+    spectral contrast by sigma^4."""
+    Om = jax.random.normal(jax.random.key(7), (A.shape[0], r), dtype=A.dtype)
+    Y = A @ Om
+    for _ in range(q):
+        Y = A @ _cholqr(Y)
+    return _cholqr(Y)
+
+
+def _round_tt_gram_body(cores, rmax, edge_solver="eigh"):
     cores = list(cores)
     N = len(cores)
     dtype = cores[0].dtype
@@ -252,10 +283,15 @@ def _round_tt_gram_body(cores, rmax):
         # its top-r eigenvectors U_r are the left singular vectors of the
         # middle matrix S = F^T H (A = S S^T) — no SVD needed.
         A = F.T @ G[k] @ F
-        _, V = jnp.linalg.eigh(A)  # ascending
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
-        U = V[:, ::-1][:, :r]
+        if edge_solver == "rand" and r < A.shape[0]:
+            # Any orthonormal basis U of the top-r subspace gives the same
+            # projection (X^T Lk X = U^T U = I below holds for any such U)
+            U = _subspace_topr(A, r)
+        else:
+            _, V = jnp.linalg.eigh(A)  # ascending
+            U = V[:, ::-1][:, :r]
         # X = F^{-T} U_r right-multiplies C_k; Y = U_r^T F^T = X^T Lk pushes
         # the middle factor into C_{k+1}
         X = Finv @ U

@@ -1337,20 +1337,25 @@ class Tensor:
                 self.cores = round_tt_eps(tuple(self.cores), eps, rmax, algorithm=algorithm)
             return
 
-        if algorithm == "gram":
+        if algorithm in ("gram", "randgram"):
             # Fixed-rank fast path: single jitted XLA program, all-matmul
             # (see ops/rounding.round_tt_gram). Requires explicit rmax.
+            # 'randgram' swaps the per-edge eigh for randomized subspace
+            # iteration (quasi-optimal truncation, ~2x faster on TPU).
             if any(r is None for r in rmax):
-                raise ValueError("algorithm='gram' requires explicit rmax")
+                raise ValueError(f"algorithm='{algorithm}' requires explicit rmax")
             from tntorch_tpu.ops.rounding import round_tt_gram
 
+            solver = "rand" if algorithm == "randgram" else "eigh"
             self._cp_to_tt()
             rt = tuple(int(r) for r in rmax)
             with tn.utils.trace_annotation("tn.round_tt:gram_kernel"):
                 if self.batch:
-                    out = jax.vmap(lambda *cs: tuple(round_tt_gram(cs, rt)))(*self.cores)
+                    out = jax.vmap(
+                        lambda *cs: tuple(round_tt_gram(cs, rt, edge_solver=solver))
+                    )(*self.cores)
                 else:
-                    out = round_tt_gram(tuple(self.cores), rt)
+                    out = round_tt_gram(tuple(self.cores), rt, edge_solver=solver)
             self.cores = list(out)
             return
 
