@@ -25,8 +25,9 @@ def test_domain():
 
 
 def test_identity():
-    for i in range(8):
-        t = random_format([6, 7, 8, 9])
+    rng = np.random.RandomState(33)
+    for i in range(6):
+        t = random_format([6, 7, 8, 9], rng=rng)
         t2 = tn.cross(lambda x: x, tensors=[t], verbose=False, seed=i)
         assert float(tn.relative_error(t, t2)) <= 1e-6
 

@@ -6,7 +6,6 @@ from pytest import raises
 import tntorch_tpu as tn
 from util import random_format
 
-np.random.seed(3)
 
 
 def check(x, t, idx):
@@ -22,9 +21,10 @@ def check(x, t, idx):
 
 
 def test_squeeze():
-    for i in range(10):
-        x = np.random.randint(1, 3, np.random.randint(2, 10))
-        t = tn.Tensor(np.random.rand(*x))
+    rng = np.random.RandomState(31)
+    for i in range(8):
+        x = rng.randint(1, 3, rng.randint(2, 10))
+        t = tn.Tensor(rng.rand(*x))
         sq = tn.squeeze(t)
         assert np.array_equal(np.squeeze(t.numpy()).shape, sq.shape if isinstance(sq, tn.Tensor) else np.shape(np.asarray(sq)))
 
@@ -78,8 +78,9 @@ def test_mixed():
         tn.rand([6, 7, 8, 9], ranks_tt=[None, 4, 4], ranks_tucker=2, ranks_cp=[3, None, None, None])
     )
 
-    for i in range(12):
-        check_one_tensor(random_format([6, 7, 8, 9]))
+    rng = np.random.RandomState(32)
+    for i in range(8):
+        check_one_tensor(random_format([6, 7, 8, 9], rng=rng))
 
     t = tn.rand([6, 7, 8, 9], ranks_cp=[3, 3, 3, 3])
     t.cores[-1] = t.cores[-1].transpose(1, 0)[:, :, None]

@@ -227,3 +227,26 @@ def test_als_completion_mesh_matches_single_device():
     assert np.allclose(r0.numpy(), r1.numpy(), atol=1e-10)
     err = np.linalg.norm(r1.numpy() - gt.numpy()) / np.linalg.norm(gt.numpy())
     assert err < 1e-2
+
+
+@needs_8
+def test_round_tt_gram_sharded_rand_solver():
+    """edge_solver='rand' under shard_map: the subspace iteration runs on
+    replicated psum'd Grams, so sharded output matches the single-device
+    rand kernel (same fixed sketch) and recovers rank-deficient input."""
+    from tntorch_tpu.ops.rounding import round_tt_gram, tt_full
+    from tntorch_tpu.parallel import round_tt_gram_sharded
+
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    a = tn.randn(8, 8, 8, ranks_tt=3, key=jax.random.key(5))
+    b = a + a  # exact rank 3 at doubled representation rank
+    ref = round_tt_gram(tuple(b.cores), 3, edge_solver="rand")
+    out = round_tt_gram_sharded(list(b.cores), 3, mesh, axis="tp", edge_solver="rand")
+    assert np.allclose(
+        np.asarray(tt_full(tuple(out))), np.asarray(tt_full(tuple(ref))), atol=1e-10
+    )
+    err = float(
+        np.linalg.norm(np.asarray(tt_full(tuple(out))) - 2 * np.asarray(a.full()))
+        / np.linalg.norm(2 * np.asarray(a.full()))
+    )
+    assert err <= 1e-9

@@ -6,24 +6,24 @@ import numpy as np
 
 import tntorch_tpu as tn
 
-np.random.seed(2)
 
 
 def test_orthogonalization():
-    for i in range(8):
-        gt = tn.rand(np.random.randint(1, 8, np.random.randint(2, 6)))
+    rng = np.random.RandomState(20)
+    for i in range(6):
+        gt = tn.rand(rng.randint(1, 8, rng.randint(2, 6)))
         t = gt.clone()
         assert tn.relative_error(gt, t) <= 1e-7
         t.left_orthogonalize(0)
         assert tn.relative_error(gt, t) <= 1e-7
         t.right_orthogonalize(t.dim() - 1)
         assert tn.relative_error(gt, t) <= 1e-7
-        t.orthogonalize(np.random.randint(t.dim()))
+        t.orthogonalize(rng.randint(t.dim()))
         assert tn.relative_error(gt, t) <= 1e-7
 
 
 def test_truncated_svd_batch():
-    gt = jnp.asarray(np.random.rand(2, 32, 32))
+    gt = jnp.asarray(np.random.RandomState(21).rand(2, 32, 32))
     u, v = tn.truncated_svd(gt, batch=True)
     for i in range(len(gt)):
         u1, v1 = tn.truncated_svd(gt[i], batch=False)
@@ -32,7 +32,7 @@ def test_truncated_svd_batch():
 
 
 def test_truncated_svd_eig_batch():
-    gt = jnp.asarray(np.random.rand(2, 32, 32))
+    gt = jnp.asarray(np.random.RandomState(22).rand(2, 32, 32))
     u, v = tn.truncated_svd(gt, batch=True, algorithm="eig")
     for i in range(len(gt)):
         u1, v1 = tn.truncated_svd(gt[i], batch=False, algorithm="eig")
@@ -41,7 +41,7 @@ def test_truncated_svd_eig_batch():
 
 
 def test_truncated_svd_reconstruct():
-    M = jnp.asarray(np.random.rand(20, 15))
+    M = jnp.asarray(np.random.RandomState(23).rand(20, 15))
     for left_ortho in (True, False):
         for algorithm in ("svd", "eig"):
             u, v = tn.truncated_svd(M, left_ortho=left_ortho, algorithm=algorithm)
@@ -51,8 +51,9 @@ def test_truncated_svd_reconstruct():
 
 
 def test_round_tt_svd():
-    for i in range(5):
-        gt = tn.rand(np.random.randint(1, 8, np.random.randint(8, 10)), ranks_tt=np.random.randint(1, 10))
+    rng = np.random.RandomState(24)
+    for i in range(4):
+        gt = tn.rand(rng.randint(1, 8, rng.randint(8, 10)), ranks_tt=rng.randint(1, 10))
         gt.round_tt(1e-8, algorithm="svd")
         t = gt + gt
         t.round_tt(1e-8, algorithm="svd")
@@ -61,8 +62,9 @@ def test_round_tt_svd():
 
 
 def test_round_tt_eig():
-    for i in range(5):
-        gt = tn.rand(np.random.randint(1, 8, np.random.randint(8, 10)), ranks_tt=np.random.randint(1, 10))
+    rng = np.random.RandomState(25)
+    for i in range(4):
+        gt = tn.rand(rng.randint(1, 8, rng.randint(8, 10)), ranks_tt=rng.randint(1, 10))
         gt.round_tt(1e-8, algorithm="eig")
         t = gt + gt
         t.round_tt(1e-8, algorithm="eig")
@@ -70,8 +72,9 @@ def test_round_tt_eig():
 
 
 def test_round_tucker():
-    for i in range(5):
-        eps = np.random.rand() ** 2
+    rng = np.random.RandomState(26)
+    for i in range(4):
+        eps = rng.rand() ** 2
         gt = tn.rand([32] * 4, ranks_tt=8, ranks_tucker=8)
         t = gt.clone()
         t.round_tucker(eps=eps)
@@ -80,8 +83,9 @@ def test_round_tucker():
 
 def test_round_tt_gram():
     # Fixed-rank Gram path (jitted, all-matmul) recovers exact ranks
+    rng = np.random.RandomState(28)
     for i in range(5):
-        gt = tn.rand(np.random.randint(2, 8, np.random.randint(3, 6)), ranks_tt=np.random.randint(1, 6))
+        gt = tn.rand(rng.randint(2, 8, rng.randint(3, 6)), ranks_tt=rng.randint(1, 6))
         t = gt + gt
         t.round_tt(rmax=[int(r) for r in gt.ranks_tt[1:-1]], algorithm="gram")
         assert tn.relative_error(gt, t / 2) <= 1e-7
@@ -94,7 +98,7 @@ def test_round_tt_gram():
 
 
 def test_round_combined():
-    x = np.random.rand(10, 10, 10)
+    x = np.random.RandomState(27).rand(10, 10, 10)
     t = tn.Tensor(x)
     t.round(1e-8)
     assert np.linalg.norm(t.numpy() - x) / np.linalg.norm(x) <= 1e-7
@@ -103,8 +107,9 @@ def test_round_combined():
 def test_round_tt_eps_jit_matches_svd():
     # The adaptive-eps jitted path (algorithm='eig' on pure TT) must pick the
     # same ranks as the eager SVD path and respect the error bound
+    rng = np.random.RandomState(29)
     for i in range(4):
-        eps = 10 ** np.random.uniform(-6, -1)
+        eps = 10 ** rng.uniform(-6, -1)
         gt = tn.rand([10] * 5, ranks_tt=5)
         t1 = gt.clone()
         t1.round_tt(eps, algorithm="eig")
@@ -145,8 +150,9 @@ def test_round_tucker_jit_svd_rmax_dim():
 def test_round_tt_svd_jit_matches_eager():
     # algorithm='svd' now routes through the one-program masked kernel;
     # verbose=True keeps the eager per-mode path -> same ranks, same values
-    for i in range(5):
-        eps = 10 ** np.random.uniform(-8, -1)
+    rng = np.random.RandomState(30)
+    for i in range(4):
+        eps = 10 ** rng.uniform(-8, -1)
         gt = tn.rand([9] * 5, ranks_tt=6)
         t = gt + gt
         t1 = t.clone()

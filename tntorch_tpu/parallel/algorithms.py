@@ -22,11 +22,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _gram_round_local(cores, rmax, axis):
+def _gram_round_local(cores, rmax, axis, edge_solver="eigh"):
     """Local (per-shard) body of the two-sided Gram rounding: identical math
     to ops.rounding._round_tt_gram_body, with every contraction over the mode
     index i closed by a psum over `axis` (i is the sharded dimension)."""
-    from tntorch_tpu.ops.rounding import _sqrt_factor
+    from tntorch_tpu.ops.rounding import _sqrt_factor, _subspace_topr
 
     cores = list(cores)
     N = len(cores)
@@ -47,10 +47,15 @@ def _gram_round_local(cores, rmax, axis):
         # Same eigh-based sqrt as the single-device body (rank-deficiency safe)
         F, Finv = _sqrt_factor(Lk)
         A = F.T @ G[k] @ F
-        _, V = jnp.linalg.eigh(A)
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
-        U = V[:, ::-1][:, :r]
+        if edge_solver == "rand" and r < A.shape[0]:
+            # Replicated computation (A is psum'd on every shard), so every
+            # shard derives the identical basis — no extra communication
+            U = _subspace_topr(A, r)
+        else:
+            _, V = jnp.linalg.eigh(A)
+            U = V[:, ::-1][:, :r]
         X = Finv @ U
         Y = U.T @ F.T
         cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
@@ -63,7 +68,8 @@ def _gram_round_local(cores, rmax, axis):
 
 
 def round_tt_gram_sharded(
-    cores: Sequence[jax.Array], rmax, mesh: Mesh, axis: str = "tp"
+    cores: Sequence[jax.Array], rmax, mesh: Mesh, axis: str = "tp",
+    edge_solver: str = "eigh",
 ):
     """Multi-device fixed-rank TT rounding: cores sharded along their MODE
     dimension over `axis`, Gram reductions as explicit psums under shard_map.
@@ -93,7 +99,7 @@ def round_tt_gram_sharded(
     rmax = rmax if isinstance(rmax, int) else tuple(int(r) for r in rmax)
     spec = P(None, axis, None)
     fn = shard_map(
-        partial(_gram_round_local, rmax=rmax, axis=axis),
+        partial(_gram_round_local, rmax=rmax, axis=axis, edge_solver=edge_solver),
         mesh=mesh,
         in_specs=(tuple(spec for _ in padded),),
         out_specs=tuple(spec for _ in padded),
