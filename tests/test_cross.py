@@ -74,3 +74,19 @@ def test_div_ops():
     b = tn.rand(6, 6, 6, ranks_tt=2) + 1.0
     assert float(tn.relative_error(tn.Tensor(a.numpy() / b.numpy()), a / b)) <= 1e-4
     assert float(tn.relative_error(tn.Tensor(2.0 / b.numpy()), 2.0 / b)) <= 1e-4
+
+
+def test_fused_cross_cp_input():
+    """Fused path with CP-format input tensors: the leading interface width
+    must be the CP rank (axis 1 of the 2D core), not the mode size (caught
+    in the round-2 code review; eager path was always correct)."""
+    t = tn.rand([6, 6, 6], ranks_cp=3, key=jax.random.key(40))
+    t2 = tn.cross(lambda x: x**2, tensors=[t], verbose=False, seed=3, fuse=True)
+    gt = t.numpy() ** 2
+    assert np.linalg.norm(t2.numpy() - gt) / np.linalg.norm(gt) <= 1e-6
+    # mode size != CP rank exercises the shape mismatch directly; also mix
+    # CP with TT inputs
+    s = tn.rand([6, 6, 6], ranks_tt=2, key=jax.random.key(41))
+    t3 = tn.cross(lambda x, y: x * y, tensors=[t, s], verbose=False, seed=4, fuse=True)
+    gt3 = t.numpy() * s.numpy()
+    assert np.linalg.norm(t3.numpy() - gt3) / np.linalg.norm(gt3) <= 1e-6

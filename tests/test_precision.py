@@ -114,3 +114,50 @@ def test_round_tt_gram_rank_deficient_f32():
     ref = np.asarray(tt_full(tuple(cores))) * 2
     got = np.asarray(tt_full(tuple(out)))
     assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 1e-4
+
+
+def test_f32_rank_deficient_no_nans():
+    """f32 + exactly-singular Grams (rounding t+t): every jittered-Cholesky
+    path must survive via dtype-aware trace-scaled jitter (sub-epsilon
+    jitter NaNs; caught in the round-2 code review)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tntorch_tpu.ops.rounding import round_tt_gram, round_tt_eps, tt_full
+
+    a = tn.randn(8, 9, 10, ranks_tt=3, key=jax.random.key(6))
+    f32cores = tuple(jnp.asarray(c, dtype=jnp.float32) for c in (a + a).cores)
+    dense = 2 * np.asarray(a.full(), dtype=np.float64)
+
+    # randgram (subspace iteration -> _cholqr)
+    out = round_tt_gram(f32cores, 3, edge_solver="rand")
+    err = np.linalg.norm(np.asarray(tt_full(tuple(out)), dtype=np.float64) - dense) / np.linalg.norm(dense)
+    assert np.isfinite(err) and err < 1e-4, err
+
+    # fast_qr eps path (cholesky_qr2 orthogonalization sweep, selected by
+    # any non-'highest' precision policy)
+    tn.set_policy("default")
+    try:
+        out2 = round_tt_eps(f32cores, 1e-5, [8] * 2, algorithm="eig")
+    finally:
+        tn.set_policy("highest")
+    err2 = np.linalg.norm(np.asarray(tt_full(tuple(out2)), dtype=np.float64) - dense) / np.linalg.norm(dense)
+    assert np.isfinite(err2) and err2 < 1e-3, err2
+    assert [c.shape[0] for c in out2[1:]] == [3, 3], [c.shape for c in out2]
+
+
+def test_f32_als_completion_underdetermined_no_nans():
+    """f32 ALS completion with fewer samples than Rl*Rr per slice: the
+    ridge must be visible in f32 or the slice solves return NaN."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    N, I, R, P = 3, 8, 4, 120
+    X = rng.integers(0, I, (P, N))
+    y = (X.astype(np.float64) ** 2).sum(axis=1)
+    r = tn.als_completion(
+        jnp.asarray(X), jnp.asarray(y, dtype=jnp.float32), ranks_tt=R,
+        shape=[I] * N, niter=4, verbose=False,
+    )
+    vals = np.asarray(r.full())
+    assert np.isfinite(vals).all()

@@ -197,8 +197,13 @@ def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys
     Is = [c.shape[1] if c.ndim == 3 else c.shape[0] for c in tensor_cores[0]]
     Rs = [1] + [r.shape[-1] for r in rints_in[0][:-1]] + [1]
 
-    lints = [[jnp.ones((1, tensor_cores[k][0].shape[0]), dtype=dtype)] + [None] * (N - 1)
-             for k in range(K)]
+    # Leading interface width: left TT rank for 3D cores, the CP rank
+    # (axis 1) for 2D CP cores — mirrors eager init_interfaces' ranks_tt[0]
+    lints = [
+        [jnp.ones((1, c0.shape[0] if c0.ndim == 3 else c0.shape[1]), dtype=dtype)]
+        + [None] * (N - 1)
+        for c0 in (tensor_cores[k][0] for k in range(K))
+    ]
     rints = [list(r) for r in rints_in]
     lsets = [jnp.zeros((1, 1), dtype=jnp.int32)] + [None] * (N - 1)
     rsets = [None] * (N - 1) + [jnp.zeros((1, 1), dtype=jnp.int32)]
@@ -361,20 +366,27 @@ def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat):
         return tuple(outs), stats, packed_rsets, rints
 
 
-def _get_fused_chunk(f):
-    """jit wrapper for _fused_chunk, cached per function object so repeated
-    cross() calls with the same f reuse traces/executables."""
+def _get_fused_chunk(f, cache_key=None):
+    """jit wrapper for _fused_chunk, cached so repeated cross() calls with
+    the same user function reuse traces/executables.
+
+    ``cache_key`` identifies the USER's function plus the wrapper flags —
+    keying on id(f) alone would miss whenever cross() wraps the user
+    function in a fresh closure (function_arg='matrix' /
+    detach_evaluations), forcing a full re-trace per call."""
     import functools
 
-    fn = _fused_iter_cache.get(id(f))
-    if fn is None:
+    key = cache_key if cache_key is not None else id(f)
+    ent = _fused_iter_cache.get(key)
+    if ent is None:
         fn = jax.jit(functools.partial(_fused_chunk, f))
         if len(_fused_iter_cache) > 128:
             _fused_iter_cache.clear()
-        _fused_iter_cache[id(f)] = (fn, f)  # keep f alive so id() stays valid
-    else:
-        fn = fn[0]
-    return fn
+        # Keep f (and through its closure, the user function) alive so any
+        # id() component of the key stays valid
+        _fused_iter_cache[key] = (fn, f)
+        return fn
+    return ent[0]
 
 
 _fused_iter_cache: dict = {}
@@ -541,7 +553,9 @@ def cross(
 
     if fused:
         tcores = tuple(tuple(t.cores) for t in tensors)
-        _fused_chunk_jit = _get_fused_chunk(f)
+        _fused_chunk_jit = _get_fused_chunk(
+            f, cache_key=(id(function), function_arg, bool(detach_evaluations))
+        )
 
         def _host_rcols():
             return tuple(

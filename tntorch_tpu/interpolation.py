@@ -49,7 +49,11 @@ def _als_solve_mode(left, right, y, seg_idx, seg_w):
         G = jnp.einsum("isa,isb->iab", A, A)
         rhs = jnp.einsum("isa,is->ia", A, b)
         tr = jnp.trace(G, axis1=-2, axis2=-1)[:, None, None]
-        ridge = 1e-13 * tr + jnp.finfo(A.dtype).tiny
+        # Dtype-aware ridge: underdetermined slices (fewer samples than
+        # Rl*Rr, routine in sparse completion) make G exactly singular, and
+        # a sub-epsilon ridge rounds away in f32 -> NaN solves
+        eps_rel = 1e-13 if G.dtype == jnp.float64 else 1e-6
+        ridge = eps_rel * tr + jnp.finfo(A.dtype).tiny
         sol = jnp.linalg.solve(G + ridge * jnp.eye(Rl * Rr, dtype=A.dtype), rhs[..., None])[..., 0]
         resid = jnp.einsum("isa,ia->is", A, sol) - b
         return sol.reshape(I, Rl, Rr), jnp.sum(resid**2)

@@ -36,9 +36,13 @@ def cholesky_qr2(M):
 
     def one(M):
         G = M.T @ M
-        jit = 1e-12 * jnp.trace(G) / G.shape[0] + jnp.asarray(
-            jnp.finfo(M.dtype).tiny, M.dtype
-        )
+        # Trace-scaled dtype-aware jitter: it must dominate eps(dtype) *
+        # lambda_max <= eps * trace(G) or the Cholesky NaNs on exactly
+        # singular Grams (e.g. rounding t+t); a /n-scaled or sub-epsilon
+        # jitter rounds away in f32. ~50x above eps keeps Q's orthogonality
+        # at the 1e-12 (f64) level on well-conditioned input.
+        eps_rel = 1e-14 if G.dtype == jnp.float64 else 1e-6
+        jit = eps_rel * jnp.trace(G) + jnp.asarray(jnp.finfo(M.dtype).tiny, M.dtype)
         R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[0], dtype=M.dtype), upper=True)
         Q = jax.scipy.linalg.solve_triangular(R, M.T, lower=False, trans=1).T
         return Q, R
@@ -234,11 +238,13 @@ def _round_tt_gram_bf16_jit(cores, rmax):
 def _cholqr(Y):
     """One CholeskyQR pass (Q only): Gram + jittered Cholesky + triangular
     solve — fuses to ~nothing inside a jitted program (vs ~0.5 ms per eigh
-    of the same size on TPU)."""
+    of the same size on TPU). The jitter is dtype-aware (must exceed
+    eps(dtype) * trace or exactly-singular sketches NaN in f32)."""
     from jax.scipy.linalg import solve_triangular
 
+    eps_rel = 1e-12 if Y.dtype == jnp.float64 else 1e-6
     G = Y.T @ Y
-    jit = 1e-12 * jnp.trace(G) + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
+    jit = eps_rel * jnp.trace(G) + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
     R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[0], dtype=Y.dtype), upper=True)
     return solve_triangular(R, Y.T, lower=False, trans=1).T
 
@@ -276,8 +282,9 @@ def _round_tt_gram_body(cores, rmax, edge_solver="eigh"):
         C = cores[k - 1]
         # Left Gram of the prefix ending at edge k
         Lk = jnp.einsum("aib,ac,cid->bd", C, L, C)
-        # Eigh-based square root (robust to the exactly-singular Grams that
-        # rank-deficient input produces; a jittered Cholesky NaNs in f32)
+        # Square-root factor via trace-scaled-jitter Cholesky (the jitter is
+        # sized to survive the exactly-singular Grams rank-deficient input
+        # produces, in both f32 and f64 — see _sqrt_factor)
         F, Finv = _sqrt_factor(Lk)
         # Edge Gram in the orthonormalized prefix basis: A = F^T G F;
         # its top-r eigenvectors U_r are the left singular vectors of the
@@ -467,69 +474,67 @@ def _tucker_eps_body(cores, us, eps, dims, algorithm, rmax_tuple):
     only host sync. Like the reference (tensor.py:1945-2006), EVERY mode is
     truncated; `dims` only sets the error split eps/sqrt(len(dims)).
     """
-    if True:
-        cores = _left_orthogonalize_sweep(list(cores))
-        us = list(us)
-        N = len(cores)
-        dtype = cores[0].dtype
-        delta_scale = eps / max(1.0, float(np.sqrt(len(dims))))
-        effs = []
-        for mu in range(N - 1, -1, -1):
-            if True:
-                core = cores[mu]
-                Rl, S, Rr = core.shape
-                # Push the core's non-orthogonality into the factor
-                perm = jnp.swapaxes(core, -1, -2).reshape(Rl * Rr, S)
-                Q, Rm = jnp.linalg.qr(perm)  # S' = min(Rl*Rr, S)
-                Sp = Q.shape[1]
-                core = jnp.swapaxes(Q.reshape(Rl, Rr, Sp), -1, -2)
-                U = us[mu] @ Rm.T  # (I, S')
-                # Spectrum of the factor: local error == global error here
-                # (everything else in the network is orthogonal)
-                delta = delta_scale * jnp.linalg.norm(U)
-                # Factor must stay ORTHONORMAL (scale goes into the core,
-                # like the eager path's left_ortho=True): the next mode's
-                # local spectrum only measures global error if every other
-                # node of the network is orthogonal.
-                if algorithm == "svd":
-                    uu, ss, vvt = jnp.linalg.svd(U, full_matrices=False)
-                    k = ss.shape[0]  # min(I, S')
-                    w = ss**2
-                    left_ortho_f = uu  # (I, k), orthonormal columns
-                    proj = ss[:, None] * vvt  # (k, S'): U = uu @ proj
-                else:
-                    G = U.T @ U  # (S', S')
-                    w_asc, V = jnp.linalg.eigh(G)
-                    w = jnp.maximum(w_asc[::-1], 0.0)
-                    k = Sp
-                    Vd = V[:, ::-1]  # descending
-                    sig = jnp.sqrt(jnp.maximum(w, jnp.finfo(dtype).tiny))
-                    left_ortho_f = (U @ Vd) / sig[None, :]  # orthonormal
-                    proj = sig[:, None] * Vd.T  # (S', S')
-                k_discard = jnp.sum(jnp.cumsum(w[::-1]) <= delta**2)
-                # rmax caps IN-PROGRAM: later modes' spectra must see the
-                # capped (masked) network, exactly like the eager sweep —
-                # capping only at compaction time would let them measure an
-                # uncapped network and pick different subspaces
-                r = jnp.clip(k - k_discard, 1, min(rmax_tuple[mu], k))
-                mask = (jnp.arange(k) < r).astype(dtype)
-                us[mu] = left_ortho_f * mask[None, :]  # (I, k), zeroed tail
-                cores[mu] = jnp.einsum(
-                    "isk,as->iak", core, proj * mask[:, None]
-                )  # (Rl, k, Rr), zeroed tail slices
-                effs.append(r)
-            if mu > 0:
-                # Right-orthogonalize mu, pushing L into core mu-1
-                core = cores[mu]
-                Rl = core.shape[0]
-                Mt = core.reshape(Rl, -1).T
-                Q, L = jnp.linalg.qr(Mt)
-                cores[mu] = Q.T.reshape((Q.shape[1],) + core.shape[1:])
-                prev = cores[mu - 1]
-                cores[mu - 1] = (prev.reshape(-1, Rl) @ L.T).reshape(
-                    prev.shape[:-1] + (L.shape[1],)
-                )
-        return cores, us, jnp.stack(effs[::-1]).astype(jnp.int32)
+    cores = _left_orthogonalize_sweep(list(cores))
+    us = list(us)
+    N = len(cores)
+    dtype = cores[0].dtype
+    delta_scale = eps / max(1.0, float(np.sqrt(len(dims))))
+    effs = []
+    for mu in range(N - 1, -1, -1):
+        core = cores[mu]
+        Rl, S, Rr = core.shape
+        # Push the core's non-orthogonality into the factor
+        perm = jnp.swapaxes(core, -1, -2).reshape(Rl * Rr, S)
+        Q, Rm = jnp.linalg.qr(perm)  # S' = min(Rl*Rr, S)
+        Sp = Q.shape[1]
+        core = jnp.swapaxes(Q.reshape(Rl, Rr, Sp), -1, -2)
+        U = us[mu] @ Rm.T  # (I, S')
+        # Spectrum of the factor: local error == global error here
+        # (everything else in the network is orthogonal)
+        delta = delta_scale * jnp.linalg.norm(U)
+        # Factor must stay ORTHONORMAL (scale goes into the core,
+        # like the eager path's left_ortho=True): the next mode's
+        # local spectrum only measures global error if every other
+        # node of the network is orthogonal.
+        if algorithm == "svd":
+            uu, ss, vvt = jnp.linalg.svd(U, full_matrices=False)
+            k = ss.shape[0]  # min(I, S')
+            w = ss**2
+            left_ortho_f = uu  # (I, k), orthonormal columns
+            proj = ss[:, None] * vvt  # (k, S'): U = uu @ proj
+        else:
+            G = U.T @ U  # (S', S')
+            w_asc, V = jnp.linalg.eigh(G)
+            w = jnp.maximum(w_asc[::-1], 0.0)
+            k = Sp
+            Vd = V[:, ::-1]  # descending
+            sig = jnp.sqrt(jnp.maximum(w, jnp.finfo(dtype).tiny))
+            left_ortho_f = (U @ Vd) / sig[None, :]  # orthonormal
+            proj = sig[:, None] * Vd.T  # (S', S')
+        k_discard = jnp.sum(jnp.cumsum(w[::-1]) <= delta**2)
+        # rmax caps IN-PROGRAM: later modes' spectra must see the
+        # capped (masked) network, exactly like the eager sweep —
+        # capping only at compaction time would let them measure an
+        # uncapped network and pick different subspaces
+        r = jnp.clip(k - k_discard, 1, min(rmax_tuple[mu], k))
+        mask = (jnp.arange(k) < r).astype(dtype)
+        us[mu] = left_ortho_f * mask[None, :]  # (I, k), zeroed tail
+        cores[mu] = jnp.einsum(
+            "isk,as->iak", core, proj * mask[:, None]
+        )  # (Rl, k, Rr), zeroed tail slices
+        effs.append(r)
+        if mu > 0:
+            # Right-orthogonalize mu, pushing L into core mu-1
+            core = cores[mu]
+            Rl = core.shape[0]
+            Mt = core.reshape(Rl, -1).T
+            Q, L = jnp.linalg.qr(Mt)
+            cores[mu] = Q.T.reshape((Q.shape[1],) + core.shape[1:])
+            prev = cores[mu - 1]
+            cores[mu - 1] = (prev.reshape(-1, Rl) @ L.T).reshape(
+                prev.shape[:-1] + (L.shape[1],)
+            )
+    return cores, us, jnp.stack(effs[::-1]).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))

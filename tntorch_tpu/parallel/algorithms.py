@@ -44,7 +44,8 @@ def _gram_round_local(cores, rmax, axis, edge_solver="eigh"):
     for k in range(1, N):
         C = cores[k - 1]
         Lk = jax.lax.psum(jnp.einsum("aib,ac,cid->bd", C, L, C), axis)
-        # Same eigh-based sqrt as the single-device body (rank-deficiency safe)
+        # Same jittered-Cholesky sqrt as the single-device body
+        # (rank-deficiency safe)
         F, Finv = _sqrt_factor(Lk)
         A = F.T @ G[k] @ F
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
