@@ -60,13 +60,21 @@ def partialset(t, order=1, mask=None, bounds=None):
 
 
 def partial(t, dim, order=1, bounds=None, periodic=False):
-    """Single partial derivative via central differences (reference derivatives.py:72-130)."""
+    """Single partial derivative via central differences (reference derivatives.py:72-130).
+
+    ``bounds`` is positional PER ENTRY OF ``dim`` (the reference's default
+    built one pair per mode and then indexed it by position in the dim list,
+    silently using mode 0's span for every derivative — fixed here)."""
     if not hasattr(dim, "__len__"):
         dim = [dim]
     if bounds is None:
-        bounds = [[0, t.shape[n]] for n in range(t.dim())]
+        bounds = [[0, t.shape[d]] for d in dim]
     if not hasattr(bounds[0], "__len__"):
         bounds = [bounds]
+    if len(bounds) != len(dim):
+        raise ValueError(
+            f"need one bounds pair per dim entry: got {len(bounds)} for {len(dim)} dims"
+        )
     if not hasattr(periodic, "__len__"):
         periodic = [periodic] * len(dim)
 
@@ -104,18 +112,23 @@ def partial(t, dim, order=1, bounds=None, periodic=False):
 
 
 def gradient(t, dim="all", bounds=None):
-    """Gradient along one or several modes (reference derivatives.py:133-157)."""
+    """Gradient along one or several modes (reference derivatives.py:133-157;
+    the reference's scalar-dim form crashed — iterating the int and passing
+    bounds into `order` — fixed here)."""
     if t.batch:
         raise ValueError("Batched tensors are not supported.")
     if dim == "all":
         dim = range(t.dim())
+    scalar = not hasattr(dim, "__len__")
+    if scalar:
+        dim = [dim]
+    dim = list(dim)
     if bounds is None:
         bounds = [[0, t.shape[d]] for d in dim]
-    if not hasattr(bounds, "__len__"):
+    if not hasattr(bounds[0], "__len__"):
         bounds = [bounds] * len(dim)
-    if not hasattr(dim, "__len__"):
-        return partial(t, dim, bounds)
-    return [partial(t, d, order=1, bounds=b) for d, b in zip(dim, bounds)]
+    outs = [partial(t, d, order=1, bounds=[b]) for d, b in zip(dim, bounds)]
+    return outs[0] if scalar else outs
 
 
 def active_subspace(t, bounds=None, marginals=None):
@@ -183,8 +196,10 @@ def divergence(ts, bounds=None):
 
 
 def curl(ts, bounds=None):
-    """Curl of a 3D vector field (reference derivatives.py:261-283)."""
-    assert [t.dim() == 3 for t in ts]
+    """Curl of a 3D vector field (reference derivatives.py:261-283; the
+    reference asserted a non-empty list comprehension — always true — so 4D
+    fields were silently accepted)."""
+    assert all(t.dim() == 3 for t in ts)
     assert len(ts) == 3
     if bounds is None:
         bounds = [None for _ in range(3)]

@@ -128,9 +128,7 @@ def dist(t1, t2):
         return jnp.sqrt(
             jnp.clip(_normsq_hermitian(t1) + _normsq_hermitian(t2) - 2 * cross, min=0)
         )
-    return jnp.sqrt(
-        jnp.clip(dot(t1, t1) + dot(t2, t2) - 2 * jnp.clip(dot(t1, t2), min=None), min=0)
-    )
+    return jnp.sqrt(jnp.clip(dot(t1, t1) + dot(t2, t2) - 2 * dot(t1, t2), min=0))
 
 
 def relative_error(gt, approx):
@@ -186,9 +184,20 @@ def sum(t, dim=None, keepdim=False, _normalize=False):
 def mean(t, dim=None, marginals=None, keepdim=False):
     """Mean over modes, optionally weighted by marginal PMFs (reference metrics.py:223-244)."""
     if marginals is not None:
-        pdfcores = [jnp.ones((1, sh, 1), dtype=t.cores[0].dtype) / sh for sh in t.shape]
         if dim is None:
             dim = range(t.dim())
+        if not hasattr(dim, "__len__"):
+            dim = [dim]
+        dim = list(dim)
+        # Expectation weights apply only to the REDUCED modes (the reference
+        # put uniform 1/sh weights on unreduced modes too, silently scaling
+        # partial means, reference metrics.py:236-242); modes in `dim`
+        # beyond the provided marginals stay uniform.
+        off = 1 if t.batch else 0
+        pdfcores = [
+            jnp.ones((1, sh, 1), dtype=t.cores[0].dtype) / (sh if n in dim else 1)
+            for n, sh in enumerate(t.shape[off:])
+        ]
         for d, marg in zip(dim, marginals):
             marg = asarray(marg)
             pdfcores[d] = marg[None, :, None] / jnp.sum(marg)
@@ -238,8 +247,13 @@ def normalized_moment(t, k, marginals=None, eps=1e-12, algorithm="eig"):
 
 def hadamard_sum(ts, algorithm="exact", eps=None):
     """Sum of the Hadamard product of M tensors: exact contraction or the
-    MRF-style rounded algorithm (reference metrics.py:345-454)."""
+    MRF-style rounded algorithm (reference metrics.py:345-454).
+
+    :param eps: rounding tolerance for the non-exact algorithms; defaults to
+        1e-14 (`round_tt`'s own default) when omitted."""
     M = len(ts)
+    if eps is None:
+        eps = 1e-14
 
     def diag_core(c, m):
         # TT core (Rl x I x Rr) -> (I x Rl x Rr x I) with diagonal structure

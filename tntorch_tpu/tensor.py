@@ -73,15 +73,26 @@ def _core_kron(a: jax.Array, b: jax.Array, batch: bool = False) -> jax.Array:
 
 
 def _broadcast(a: "Tensor", b: "Tensor"):
-    """Repeat-based shape broadcasting for binary ops (reference tensor.py:2290-2306)."""
+    """Repeat-based shape broadcasting for binary ops (reference tensor.py:2290-2306).
+
+    For batch tensors, `shape` carries the leading batch size but `repeat`
+    takes PER-MODE counts — the reference fed the full shape in, shifting
+    every count by one; here the batch dim is excluded (batch sizes must
+    already agree)."""
     if tuple(a.shape) == tuple(b.shape):
         return a, b
     if a.dim() != b.dim():
         raise ValueError(
             "Cannot broadcast: lhs has {} dimensions, rhs has {}".format(a.dim(), b.dim())
         )
-    r1 = a.repeat(*[int(round(max(s2 / s1, 1))) for s1, s2 in zip(a.shape, b.shape)])
-    r2 = b.repeat(*[int(round(max(s1 / s2, 1))) for s1, s2 in zip(a.shape, b.shape)])
+    off = 1 if a.batch else 0
+    if off and a.shape[0] != b.shape[0]:
+        raise ValueError(
+            "Cannot broadcast batch sizes {} and {}".format(a.shape[0], b.shape[0])
+        )
+    sa, sb = a.shape[off:], b.shape[off:]
+    r1 = a.repeat(*[int(round(max(s2 / s1, 1))) for s1, s2 in zip(sa, sb)])
+    r2 = b.repeat(*[int(round(max(s1 / s2, 1))) for s1, s2 in zip(sa, sb)])
     return r1, r2
 
 
@@ -1478,7 +1489,12 @@ class Tensor:
         t = self.clone()
         if len(rep) > self.dim():
             for n in range(self.dim(), len(rep)):
-                t.cores.append(jnp.ones((rep[n], t.cores[-1].shape[-1]), dtype=t.cores[-1].dtype))
+                # New trailing mode as a CP factor of the trailing rank —
+                # 3D (B x I x R) in batch layout, 2D otherwise
+                cshape = (rep[n], t.cores[-1].shape[-1])
+                if t.batch:
+                    cshape = (t.cores[-1].shape[0],) + cshape
+                t.cores.append(jnp.ones(cshape, dtype=t.cores[-1].dtype))
                 t.Us.append(None)
                 t.idxs.append(np.arange(rep[n]))
         for n in range(self.dim()):

@@ -47,48 +47,59 @@ def cat(*ts, dim):
         ts = ts[0]
     if len(ts) == 1:
         return ts[0].clone()
+    off = 1 if ts[0].batch else 0  # t.shape carries the batch size up front
     if any(
-        any(t.shape[n] != ts[0].shape[n] for n in np.delete(range(ts[0].dim()), dim))
+        any(
+            t.shape[n + off] != ts[0].shape[n + off]
+            for n in np.delete(range(ts[0].dim()), dim)
+        )
         for t in ts[1:]
     ):
         raise ValueError(
             "To concatenate tensors, all must have the same shape along all but the given dim"
         )
 
-    shapes = np.array([t.shape[dim] for t in ts])
+    shapes = np.array([t.shape[dim + off] for t in ts])
     sumshapes = np.concatenate([np.array([0]), np.cumsum(shapes)])
     result = None
     for i in range(len(ts)):
         t = ts[i].clone()
         if t.Us[dim] is None:
             c = t.cores[dim]
-            if c.ndim == 2:
-                z = jnp.zeros((sumshapes[-1], c.shape[-1]), dtype=c.dtype)
-            else:
-                z = jnp.zeros((c.shape[0], sumshapes[-1], c.shape[-1]), dtype=c.dtype)
+            # Zero-pad along the mode axis (always axis -2) — covers 2D/3D
+            # CP, 3D/4D TT, batch or not
+            z = jnp.zeros(c.shape[:-2] + (sumshapes[-1], c.shape[-1]), dtype=c.dtype)
             t.cores[dim] = z.at[..., sumshapes[i]:sumshapes[i + 1], :].add(c)
         else:
             U = t.Us[dim]
-            z = jnp.zeros((sumshapes[-1], U.shape[-1]), dtype=U.dtype)
-            t.Us[dim] = z.at[sumshapes[i]:sumshapes[i + 1], :].add(U)
+            z = jnp.zeros(U.shape[:-2] + (sumshapes[-1], U.shape[-1]), dtype=U.dtype)
+            t.Us[dim] = z.at[..., sumshapes[i]:sumshapes[i + 1], :].add(U)
         result = t if result is None else result + t
     return result
 
 
 def transpose(t):
-    """Reverse mode order (reference tools.py:107-132)."""
+    """Reverse mode order (reference tools.py:107-132; batch layout keeps
+    its leading B axis in place and swaps only the rank axes)."""
+    off = 1 if t.batch else 0
     cores, Us, idxs = [], [], []
-    for n in range(t.dim() - 1, -1, -1):
-        if t.cores[n].ndim == 3:
-            cores.append(jnp.transpose(t.cores[n], (2, 1, 0)))
-        else:
-            cores.append(t.cores[n])
-        Us.append(None if t.Us[n] is None else t.Us[n])
+    if off:
         try:
-            idxs.append(np.asarray(t.idxs[n]).copy())
+            idxs.append(np.asarray(t.idxs[0]).copy())
         except Exception:
             idxs.append(None)
-    return tn.Tensor(cores, Us, idxs)
+    for n in range(t.dim() - 1, -1, -1):
+        c = t.cores[n]
+        if c.ndim == 3 + off:  # TT core: swap left/right ranks
+            cores.append(jnp.transpose(c, (0, 3, 2, 1) if off else (2, 1, 0)))
+        else:  # CP factor: symmetric in its rank index
+            cores.append(c)
+        Us.append(None if t.Us[n] is None else t.Us[n])
+        try:
+            idxs.append(np.asarray(t.idxs[n + off]).copy())
+        except Exception:
+            idxs.append(None)
+    return tn.Tensor(cores, Us, idxs, batch=t.batch)
 
 
 def meshgrid(*axes, batch: bool = False):
@@ -407,7 +418,10 @@ def convolve(t1, t2, mode: str = "full", **kwargs):
     elif mode == "valid":
         for n in range(N):
             k = min(t1.shape[n], t2.shape[n])
-            t12.cores[n] = t12.cores[n][:, k - 1 : -(k - 1), :]
+            # out_len = max - min + 1; an explicit end index avoids the
+            # reference's -(k-1) slice, which is empty when k == 1
+            out_len = max(t1.shape[n], t2.shape[n]) - k + 1
+            t12.cores[n] = t12.cores[n][:, k - 1 : k - 1 + out_len, :]
     return t12
 
 
