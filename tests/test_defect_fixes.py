@@ -106,3 +106,78 @@ def test_batch_transpose_and_cat():
     s = tn.Tensor(jnp.asarray(y), batch=True)
     c = tn.cat(t, s, dim=0)  # concatenate along MODE 0 (not the batch axis)
     assert np.allclose(c.numpy(), np.concatenate([x, y], axis=1))
+
+
+def test_create_key_gives_independent_cores():
+    """Explicit key= must yield independent draws per core/factor (the key
+    was previously passed verbatim to every draw -> bit-identical cores)."""
+    t = tn.rand(4, 4, 4, 4, ranks_tt=3, key=jax.random.key(0))
+    assert not np.array_equal(np.asarray(t.cores[1]), np.asarray(t.cores[2]))
+    t2 = tn.rand(4, 4, 4, 4, ranks_tt=3, ranks_tucker=2, key=jax.random.key(0))
+    assert not np.array_equal(np.asarray(t2.Us[0]), np.asarray(t2.Us[1]))
+    # Same key -> same tensor (reproducibility preserved)
+    t3 = tn.rand(4, 4, 4, 4, ranks_tt=3, key=jax.random.key(0))
+    for a, b in zip(t.cores, t3.cores):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_tt_eval_f64_interpret():
+    """The Pallas kernel must cast its f32 accumulator to the output dtype
+    (f64 interpret mode is the CPU parity path)."""
+    from tntorch_tpu.ops.pallas_tt import HAVE_PALLAS, pallas_tt_eval
+    from tntorch_tpu.parallel.mesh import tt_batch_forward
+
+    if not HAVE_PALLAS:
+        return
+    t = tn.randn(8, 9, 10, ranks_tt=4, key=jax.random.key(7))  # f64 cores
+    X = jnp.asarray(np.random.default_rng(7).integers(0, 8, (128, 3)), dtype=jnp.int32)
+    got = pallas_tt_eval(tuple(t.cores), X, interpret=True)
+    ref = tt_batch_forward(list(t.cores), X)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_shard_ranks_batch_tensor():
+    from tntorch_tpu.parallel import make_mesh, shard_ranks, sharded_dot
+
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    t = tn.rand((4, 6, 6, 6), ranks_tt=4, batch=True, key=jax.random.key(8))
+    ts = shard_ranks(t, mesh)  # must not crash / shard the batch axis
+    d = sharded_dot(ts, ts)
+    gt = np.sum(t.numpy() * t.numpy())
+    assert np.isclose(float(np.sum(np.asarray(d))), gt, rtol=1e-10)
+
+
+def test_tt_forward_shard_map_single_core():
+    from tntorch_tpu.parallel import make_mesh
+    from tntorch_tpu.parallel.mesh import tt_forward_shard_map
+
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    t = tn.rand([9], ranks_tt=None, key=jax.random.key(9))
+    X = jnp.asarray(np.random.default_rng(9).integers(0, 9, (8, 1)), dtype=jnp.int32)
+    y = tt_forward_shard_map(list(t.cores), X, mesh)
+    gt = t.numpy()[np.asarray(X)[:, 0]]
+    assert np.allclose(np.asarray(y), gt)
+
+
+def test_ttmatrix_single_factor():
+    rng = np.random.default_rng(10)
+    A = rng.standard_normal((4, 4))
+    A = A @ A.T + 4 * np.eye(4)  # SPD for cholesky
+    m = tn.TTMatrix(jnp.asarray(A), [], [4], [4])
+    assert np.allclose(np.asarray(m.full()), A, atol=1e-10)
+    det = float(m.determinant())
+    assert np.isclose(det, np.linalg.det(A), rtol=1e-8)
+    inv = np.asarray(m.inv().full())
+    assert np.allclose(inv, np.linalg.inv(A), atol=1e-8)
+
+
+def test_orbax_roundtrip_frozen_us(tmp_path):
+    t = tn.rand([6] * 3, ranks_tt=2, ranks_tucker=3, key=jax.random.key(11))
+    t.set_factors("legendre")
+    try:
+        tn.save_orbax(t, tmp_path / "ck")
+    except ImportError:
+        return
+    t2 = tn.load_orbax(tmp_path / "ck")
+    assert t2.frozen_Us == {0, 1, 2}
+    assert float(tn.relative_error(t, t2)) <= 1e-12

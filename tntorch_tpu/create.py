@@ -182,19 +182,26 @@ def _create(
         raise ValueError("One or more TT/CP ranks were not specified")
 
     bdim = (shape[0],) if batch else ()
+    # One independent subkey per core/factor draw: passing the caller's key
+    # verbatim to every draw would make all same-shape cores bit-identical
+    if key is not None:
+        draw_keys = iter(jax.random.split(key, 2 * N))
+    else:
+        draw_keys = iter([None] * (2 * N))
     cores, Us = [], []
     for n in range(N):
         sp = shape[n + 1] if batch else shape[n]
+        uk, ck = next(draw_keys), next(draw_keys)
         if ranks_tucker[n] is None:
             Us.append(None)
         else:
-            Us.append(function(bdim + (sp, ranks_tucker[n]), dtype, key))
+            Us.append(function(bdim + (sp, ranks_tucker[n]), dtype, uk))
         if ranks_cp[n] is None:
             cores.append(
-                function(bdim + (coreranks[n], corespatials[n + (1 if batch else 0)], coreranks[n + 1]), dtype, key)
+                function(bdim + (coreranks[n], corespatials[n + (1 if batch else 0)], coreranks[n + 1]), dtype, ck)
             )
         else:
-            cores.append(function(bdim + (corespatials[n + (1 if batch else 0)], ranks_cp[n]), dtype, key))
+            cores.append(function(bdim + (corespatials[n + (1 if batch else 0)], ranks_cp[n]), dtype, ck))
     t = tn.Tensor(cores, Us=Us, batch=batch, device=device)
     t.requires_grad = requires_grad
     return t

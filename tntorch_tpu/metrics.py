@@ -38,30 +38,41 @@ def _process(gt, approx):
 def dot(t1, t2, k=None):
     """Generalized dot: contract the k leading dims (reference metrics.py:28-116)."""
 
-    def _project_spatial(core, M):
-        if core.ndim == 3:
-            return jnp.einsum("iak,aj->ijk", core, M)
-        return jnp.einsum("ak,aj->jk", core, M)
-
-    def _project_left(core, M):
-        if core.ndim == 3:
-            return jnp.einsum("sr,rai->sai", M, core)
-        return jnp.einsum("sr,ar->sar", M, core)
-
     t1, t2 = _process(t1, t2)
     if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
         return jnp.dot(t1.reshape(-1), t2.reshape(-1))
+
+    # Batch layout adds a leading B axis to every core/factor; the ellipsis
+    # einsums below serve both layouts with one code path (the reference has
+    # no batch dot at all). TT cores are ndim 3+b, CP factors 2+b.
+    batch = t1.batch or t2.batch
+    if t1.batch != t2.batch:
+        raise ValueError("Cannot dot a batch tensor with a non-batch tensor")
+    tt_ndim = 4 if batch else 3
+
+    def _project_spatial(core, M):
+        if core.ndim == tt_ndim:
+            return jnp.einsum("...iak,...aj->...ijk", core, M)
+        return jnp.einsum("...ak,...aj->...jk", core, M)
+
+    def _project_left(core, M):
+        if core.ndim == tt_ndim:
+            return jnp.einsum("...sr,...rai->...sai", M, core)
+        return jnp.einsum("...sr,...ar->...sar", M, core)
 
     Lprod = jnp.ones((int(t2.ranks_tt[0]), int(t1.ranks_tt[0])), dtype=t1.cores[0].dtype)
     if k is None:
         k = min(t1.dim(), t2.dim())
     assert k <= t1.dim() and k <= t2.dim()
-    if not np.array_equal(t1.shape[:k], t2.shape[:k]):
+    off = 1 if batch else 0
+    if not np.array_equal(t1.shape[off:off + k], t2.shape[off:off + k]):
         raise ValueError(
             "Dot product requires leading dimensions to be equal, but they are {} and {}".format(
-                t1.shape[:k], t2.shape[:k]
+                t1.shape[off:off + k], t2.shape[off:off + k]
             )
         )
+    if batch and (k < t1.dim() or k < t2.dim()):
+        raise ValueError("Partial-k dot is not supported for batch tensors")
 
     for mu in range(k):
         core1 = t1.cores[mu]
@@ -73,14 +84,19 @@ def dot(t1, t2, k=None):
         elif t2.Us[mu] is None:
             core2 = _project_spatial(core2, t1.Us[mu])
         else:
-            core2 = _project_spatial(core2, t2.Us[mu].T @ t1.Us[mu])
+            core2 = _project_spatial(
+                core2, jnp.einsum("...as,...ar->...sr", t2.Us[mu], t1.Us[mu])
+            )
         # Advance the running left product
         Ucore = _project_left(core1, Lprod)
         Vcore = core2
-        if Vcore.ndim == 3:
-            Lprod = tn.left_unfolding(Vcore).T @ tn.left_unfolding(Ucore)
+        if Vcore.ndim == tt_ndim:
+            Lprod = jnp.einsum("...sai,...saj->...ij", Vcore, Ucore)
         else:
-            Lprod = jnp.einsum("as,sar->sr", Vcore, Ucore)
+            Lprod = jnp.einsum("...as,...sar->...sr", Vcore, Ucore)
+
+    if batch:
+        return jnp.sum(Lprod, axis=(-2, -1))  # per-sample dot values
 
     if k < t1.dim():
         t1trail = tn.Tensor(list(t1.cores[k:]), list(t1.Us[k:]))

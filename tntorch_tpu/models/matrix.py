@@ -136,7 +136,8 @@ class TTMatrix:
         )
 
     def _is_kron(self):
-        return max(self.ranks) == 1
+        # d == 1 has no interior ranks and is trivially a Kronecker product
+        return len(self.ranks) == 0 or max(self.ranks) == 1
 
     def _check_kron_properties(self):
         if not self._is_kron():

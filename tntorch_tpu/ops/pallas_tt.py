@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # Pallas requires a TPU-capable jaxlib; guard for portability
     from jax.experimental import pallas as pl
@@ -70,7 +71,9 @@ def _kernel(x_ref, *refs):
         v = jnp.dot(Wm.astype(dtype), S, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
 
-    out_ref[:] = v
+    # The accumulator is f32 (preferred_element_type above); cast back to
+    # the output dtype — storing f32 into a non-f32 ref is a Mosaic error
+    out_ref[:] = v.astype(out_ref.dtype)
 
 
 def _prepare(cores):
@@ -121,12 +124,18 @@ def tt_eval(cores, X, use_pallas: Optional[bool] = None):
 
     B = X.shape[0]
     if use_pallas is None:
+        vmem_bytes = sum(
+            int(np.prod(c.shape)) * c.dtype.itemsize for c in cores
+        )
         use_pallas = (
             HAVE_PALLAS
             and jax.default_backend() == "tpu"
             and B % TILE_B == 0
             and cores[0].shape[0] == 1
             and cores[-1].shape[-1] == 1
+            and cores[0].dtype == jnp.float32
+            # All cores must stay VMEM-resident (module docstring budget)
+            and vmem_bytes <= 12 * 2**20
         )
     if use_pallas:
         return pallas_tt_eval(tuple(cores), X)

@@ -348,6 +348,8 @@ def _eps_eig_body(cores, eps, rmax_vec, qr=jnp.linalg.qr):
         prev = cores[mu - 1]
         cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U * s[None, :])
         effs.append(r)
+    if not effs:  # N == 1: no interior edges, nothing to truncate
+        return cores, jnp.zeros((0,), dtype=jnp.int32)
     return cores, jnp.stack(effs[::-1]).astype(jnp.int32)
 
 
@@ -392,6 +394,8 @@ def _eps_svd_body(cores, eps, rmax_vec, qr=jnp.linalg.qr):
         prev = cores[mu - 1]
         cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, (U * S[None, :]) * mask[None, :])
         effs.append(r)
+    if not effs:  # N == 1: no interior edges, nothing to truncate
+        return cores, jnp.zeros((0,), dtype=jnp.int32)
     return cores, jnp.stack(effs[::-1]).astype(jnp.int32)
 
 

@@ -55,26 +55,32 @@ def shard_batch(t: "tn.Tensor", mesh: Mesh, axis: str = "dp") -> "tn.Tensor":
     return t2
 
 
-def rank_specs(cores, axis: str = "tp"):
+def rank_specs(cores, axis: str = "tp", batch: bool = False):
     """PartitionSpecs sharding each interior TT-rank edge consistently:
     core n's right rank and core n+1's left rank carry the same axis so the
-    contraction is local, with XLA inserting one psum at the boundary."""
+    contraction is local, with XLA inserting one psum at the boundary.
+
+    ``batch`` shifts every axis by the leading B dim (batch TT cores are
+    4D, batch CP factors 3D) — classifying by bare ndim would misread a
+    batch TT core as a CP factor and shard the wrong axes."""
     N = len(cores)
     specs = []
+    b = (None,) if batch else ()
+    tt_ndim = 4 if batch else 3
     for n, c in enumerate(cores):
         left = axis if (n > 0 and n % 2 == 1) else None
         right = axis if (n < N - 1 and n % 2 == 0) else None
-        if c.ndim == 3:
-            specs.append(P(left, None, right))
+        if c.ndim == tt_ndim:
+            specs.append(P(*b, left, None, right))
         else:  # CP factor: shard the single rank axis
-            specs.append(P(None, right))
+            specs.append(P(*b, None, right))
     return specs
 
 
 def shard_ranks(t: "tn.Tensor", mesh: Mesh, axis: str = "tp") -> "tn.Tensor":
     """Shard TT-rank axes of the cores across `axis` — rank/tensor parallelism
     (SURVEY.md section 2: rank sharding of R x I x R cores)."""
-    return _put(t, rank_specs(t.cores, axis), mesh)
+    return _put(t, rank_specs(t.cores, axis, batch=t.batch), mesh)
 
 
 def replicate(t: "tn.Tensor", mesh: Mesh) -> "tn.Tensor":
@@ -153,10 +159,16 @@ def tt_forward_shard_map(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str
     # replicated (its right rank is the global R_N = 1 edge, which must not
     # be split). jax's check_vma machinery verifies the resulting value is
     # genuinely tp-invariant, replacing round-1's unchecked check_rep=False.
-    specs = [P(*s) for s in [(None, None, tp_axis)] + [
-        (tp_axis, None, None) if n % 2 == 1 else (None, None, tp_axis)
-        for n in range(1, N - 1)
-    ] + [(tp_axis, None, None) if (N - 1) % 2 == 1 else (None, None, None)]]
+    if N == 1:
+        # Single core: both rank edges are the global R=1 boundaries, so the
+        # core is fully replicated (the general construction would emit two
+        # specs for one core)
+        specs = [P(None, None, None)]
+    else:
+        specs = [P(*s) for s in [(None, None, tp_axis)] + [
+            (tp_axis, None, None) if n % 2 == 1 else (None, None, tp_axis)
+            for n in range(1, N - 1)
+        ] + [(tp_axis, None, None) if (N - 1) % 2 == 1 else (None, None, None)]]
 
     def local_forward(X_local, *cores_local):
         B = X_local.shape[0]

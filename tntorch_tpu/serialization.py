@@ -51,7 +51,16 @@ def save_orbax(t, path):
             for n, i in enumerate(getattr(t, "idxs", []) or [])
             if i is not None
         },
-        "meta": {"n_cores": t.dim(), "batch": int(t.batch)},
+        "meta": {
+            "n_cores": t.dim(),
+            "batch": int(t.batch),
+            # Per-mode frozen-factor bitmask (orbax cannot store zero-size
+            # arrays, so an index list would fail for the common empty case)
+            "frozen_Us_mask": np.asarray(
+                [int(m in getattr(t, "frozen_Us", ())) for m in range(t.dim())],
+                dtype=np.int64,
+            ),
+        },
     }
     ckptr = ocp.PyTreeCheckpointer()
     import os
@@ -80,7 +89,11 @@ def load_orbax(path):
     ]
     if not any(i is not None for i in idxs):
         idxs = None
-    return tn.Tensor(cores, Us=Us, idxs=idxs, batch=batch)
+    t = tn.Tensor(cores, Us=Us, idxs=idxs, batch=batch)
+    mask = payload["meta"].get("frozen_Us_mask")
+    if mask is not None:
+        t.frozen_Us = {m for m, bit in enumerate(np.asarray(mask).ravel()) if bit}
+    return t
 
 
 def load(path):
