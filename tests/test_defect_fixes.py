@@ -181,3 +181,85 @@ def test_orbax_roundtrip_frozen_us(tmp_path):
     t2 = tn.load_orbax(tmp_path / "ck")
     assert t2.frozen_Us == {0, 1, 2}
     assert float(tn.relative_error(t, t2)) <= 1e-12
+
+
+def test_truncated_svd_eig_complex():
+    """algorithm='eig' must conjugate the Gram products: the reference's
+    plain transpose fed eigh a non-Hermitian matrix for complex input."""
+    rng = np.random.default_rng(12)
+    A = (rng.standard_normal((8, 3)) + 1j * rng.standard_normal((8, 3))) @ (
+        rng.standard_normal((3, 16)) + 1j * rng.standard_normal((3, 16))
+    )
+    for M in (jnp.asarray(A), jnp.asarray(A.T)):  # both Gram sides
+        for lo in (True, False):
+            u, v = tn.truncated_svd(M, rmax=3, algorithm="eig", left_ortho=lo)
+            err = np.linalg.norm(np.asarray(u @ v) - np.asarray(M)) / np.linalg.norm(A)
+            assert err < 1e-10, (M.shape, lo, err)
+
+
+def test_truncated_svd_eig_rank_deficient_truncates():
+    """The reference clamped zero eigenvalues to 1e-8, inflating them above
+    tight error budgets so rank-deficient input was never truncated."""
+    rng = np.random.default_rng(13)
+    M = jnp.asarray(rng.standard_normal((10, 4)) @ rng.standard_normal((4, 20)))
+    u, v = tn.truncated_svd(M, eps=1e-6, algorithm="eig")
+    assert u.shape[1] == 4
+    # Forcing the rank above the true rank must stay finite (guarded 1/sigma)
+    u, v = tn.truncated_svd(M, rmax=8, algorithm="eig")
+    assert np.isfinite(np.asarray(u)).all() and np.isfinite(np.asarray(v)).all()
+    err = np.linalg.norm(np.asarray(u @ v) - np.asarray(M)) / np.linalg.norm(np.asarray(M))
+    assert err < 1e-10
+
+
+def test_record_samples_tensor_mode():
+    """record_samples with K input tensors (K != N crashes in the reference:
+    positions were sized (0, N) but stacked K fiber columns)."""
+    t1 = tn.rand([5, 6, 7], ranks_tt=2, key=jax.random.key(14))
+    t2 = tn.rand([5, 6, 7], ranks_tt=2, key=jax.random.key(15))
+    out, info = tn.cross(
+        tensors=[t1, t2], function=lambda a, b: a * b, verbose=False,
+        record_samples=True, return_info=True, seed=0, fuse=False,
+    )
+    assert info["sample_positions"].shape[1] == 2
+    assert info["sample_positions"].shape[0] == len(info["sample_values"])
+
+
+def test_seed_is_process_wide():
+    import threading
+
+    tn.utils.seed(123)
+    a = tn.rand([4, 4], ranks_tt=2)
+    results = {}
+
+    def worker():
+        tn.utils.seed(123)
+        results["t"] = tn.rand([4, 4], ranks_tt=2)
+
+    th = threading.Thread(target=worker)
+    th.start()
+    th.join()
+    assert np.array_equal(np.asarray(a.cores[0]), np.asarray(results["t"].cores[0]))
+
+
+def test_optimize_clear_error_on_float_loss():
+    """A loss that calls float() on a traced value cannot be differentiated
+    by JAX at all (eager grad traces too); optimize must surface a clear
+    ValueError instead of a raw tracer message (the old code only caught
+    TracerArrayConversionError, so the sibling ConcretizationTypeError
+    escaped with no guidance)."""
+    import optax
+    import pytest
+
+    t = tn.rand([6, 6], ranks_tt=2, requires_grad=True, key=jax.random.key(16))
+    target = jnp.asarray(np.random.default_rng(16).standard_normal((6, 6)))
+
+    def loss(t):
+        d = t.full() - target
+        v = jnp.mean(d**2)
+        if float(v) > 1e12:  # forces concretization under trace
+            v = v * 1.0
+        return v
+
+    with pytest.raises(ValueError, match="Python scalar"):
+        tn.optimize(t, loss, optimizer=optax.adam(1e-2), max_iter=5, tol=None,
+                    verbose=False)

@@ -18,6 +18,15 @@ import numpy as np
 
 import tntorch_tpu as tn
 
+# Every way a loss can concretize a tracer (float()/bool()/int()/np.asarray
+# on a traced value): these siblings share no single parent short of
+# JAXTypeError, so catch them as a tuple to route the loss to the eager path
+_NON_TRACEABLE_ERRORS = (
+    jax.errors.TracerArrayConversionError,
+    jax.errors.TracerIntegerConversionError,
+    jax.errors.ConcretizationTypeError,  # covers TracerBoolConversionError
+)
+
 
 def _get_params(tensors):
     """Extract trainable leaves: cores/Us of tensors flagged requires_grad."""
@@ -35,9 +44,7 @@ def _get_params(tensors):
                     "Us": {m: U for m, U in enumerate(t.Us)
                            if U is not None and m not in frozen},
                 }
-        elif getattr(t, "requires_grad", False) or (
-            hasattr(t, "ndim") and getattr(t, "requires_grad", False)
-        ):
+        elif getattr(t, "requires_grad", False):
             params[i] = t
     return params
 
@@ -150,7 +157,7 @@ def optimize(
         try:
             with tn.utils.trace_annotation("tn.optimize:block_step"):
                 params, opt_state, tls, parts = block_step(params, opt_state)
-        except jax.errors.TracerArrayConversionError:
+        except _NON_TRACEABLE_ERRORS:
             block_iters = 1
             break
         tls = np.asarray(tls)
@@ -186,10 +193,21 @@ def optimize(
     while True:
         try:
             params, opt_state, total_loss, loss_parts = step(params, opt_state)
-        except jax.errors.TracerArrayConversionError:
-            # Loss not traceable (e.g. uses cross): fall back to eager
+        except _NON_TRACEABLE_ERRORS:
+            # Loss not jittable (e.g. data-dependent shapes via cross): fall
+            # back to per-call tracing. Value concretization (float()/bool()
+            # on a traced value) fails under eager grad too — surface that
+            # as a clear error instead of a raw tracer message.
             step = lambda p, s: _eager_step(p, s, optimizer, total_loss_fn)
-            params, opt_state, total_loss, loss_parts = step(params, opt_state)
+            try:
+                params, opt_state, total_loss, loss_parts = step(params, opt_state)
+            except _NON_TRACEABLE_ERRORS as e:
+                raise ValueError(
+                    "loss_function converts a traced value to a Python "
+                    "scalar (float()/bool()/int()), which JAX cannot "
+                    "differentiate; use jnp ops (jnp.where, lax.cond) on "
+                    "the value instead"
+                ) from e
         losses_hist.append(float(total_loss))
 
         if len(losses_hist) >= 2:

@@ -540,7 +540,10 @@ def cross(
 
     info = {"nsamples": 0, "eval_time": 0, "val_epss": [], "min": 0, "argmin": None}
     if record_samples:
-        info["sample_positions"] = np.zeros((0, N))
+        # One column per INPUT TENSOR (= per coordinate in domain mode,
+        # where the inputs are the meshgrid tensors; the reference sized
+        # this (0, N) and crashed whenever len(tensors) != N)
+        info["sample_positions"] = np.zeros((0, len(tensors)))
         info["sample_values"] = np.zeros(0)
 
     if mesh is not None:

@@ -443,7 +443,7 @@ class PCEInterpolator:
 
         n_val = int(P * val_split)
         rng = np.random.default_rng(seed=seed)
-        idx_val = rng.choice(P, n_val)
+        idx_val = rng.choice(P, n_val, replace=False)  # a split must not duplicate rows
         idx_train = np.delete(np.arange(P), idx_val)
         y_train = y[idx_train]
         y_val = y[idx_val]

@@ -71,15 +71,21 @@ def truncated_svd(
         svd0, svd1 = U, S
         singular_vectors = "left"
     else:
+        # Gram of the short side; conjugated so eigh gets a Hermitian matrix
+        # for complex input (the reference's plain transpose silently
+        # selects a wrong subspace for complex data)
         if M.shape[-2] <= M.shape[-1]:
-            gram = M @ jnp.swapaxes(M, -1, -2)
+            gram = M @ jnp.swapaxes(M, -1, -2).conj()
             singular_vectors = "left"
         else:
-            gram = jnp.swapaxes(M, -1, -2) @ M
+            gram = jnp.swapaxes(M, -1, -2).conj() @ M
             singular_vectors = "right"
         w, v = jnp.linalg.eigh(gram)
-        w = jnp.where(w < 0, jnp.zeros_like(w) + 1e-8, w)
-        w = jnp.sqrt(w)
+        # Clamp roundoff negatives to ZERO: the reference's absolute 1e-8
+        # clamp inflates exact-zero directions above tight error budgets, so
+        # rank-deficient input was never truncated at small eps. Division by
+        # the resulting zero sigmas is guarded at the use sites below.
+        w = jnp.sqrt(jnp.maximum(w, 0.0))
         svd0 = v[..., ::-1]  # descending eigenvalue order
         svd1 = w[..., ::-1]
 
@@ -113,19 +119,24 @@ def truncated_svd(
 
     left = svd0[..., :rank]
     sr = svd1[..., :rank]
+    # Zero sigmas can be KEPT when rmax/delta forces the rank above the true
+    # rank; their directions carry no data, so a guarded reciprocal (0 -> 0
+    # contribution) is exact where the reference's 1e-8 clamp was noise
+    tiny = jnp.finfo(svd1.dtype).tiny
+    sr_inv = jnp.where(sr > tiny, 1.0 / jnp.where(sr > tiny, sr, 1.0), 0.0)
 
     if singular_vectors == "left":
         if left_ortho:
             M2 = jnp.swapaxes(left, -1, -2).conj() @ M
         else:
-            M2 = (1.0 / sr)[..., None] * (jnp.swapaxes(left, -1, -2).conj() @ M)
+            M2 = sr_inv[..., None] * (jnp.swapaxes(left, -1, -2).conj() @ M)
             left = left * sr[..., None, :]
     else:
         if left_ortho:
-            M2 = M @ (left * (1.0 / sr)[..., None, :])
-            left, M2 = M2, jnp.swapaxes(left * sr[..., None, :], -1, -2)
+            M2 = M @ (left * sr_inv[..., None, :])
+            left, M2 = M2, jnp.swapaxes(left * sr[..., None, :], -1, -2).conj()
         else:
             M2 = M @ left
-            left, M2 = M2, jnp.swapaxes(left, -1, -2)
+            left, M2 = M2, jnp.swapaxes(left, -1, -2).conj()
 
     return left, M2

@@ -22,7 +22,9 @@ import numpy as np
 
 logger = logging.getLogger("tntorch_tpu")
 
-_state = threading.local()
+_state = threading.local()  # per-thread scratch (non-PRNG uses)
+_key_state = {"key": None}
+_key_lock = threading.Lock()
 
 
 class trace_annotation:
@@ -100,17 +102,23 @@ def enable_compilation_cache(path=None):
 
 
 def seed(s: int) -> None:
-    """Seed the process-level PRNG stream used when no explicit key is given."""
-    _state.key = jax.random.key(s)
+    """Seed the process-level PRNG stream used when no explicit key is given.
+
+    The stream is genuinely process-wide (guarded by a lock), so seeding in
+    one thread governs draws made from any thread — thread-local state would
+    silently fall back to OS entropy in worker threads."""
+    with _key_lock:
+        _key_state["key"] = jax.random.key(s)
 
 
 def next_key(key: Optional[jax.Array] = None) -> jax.Array:
     """Return a fresh PRNG key (from `key` if given, else the global stream)."""
     if key is not None:
         return key
-    if not hasattr(_state, "key"):
-        _state.key = jax.random.key(np.random.SeedSequence().entropy % (2**63))
-    _state.key, sub = jax.random.split(_state.key)
+    with _key_lock:
+        if _key_state["key"] is None:
+            _key_state["key"] = jax.random.key(np.random.SeedSequence().entropy % (2**63))
+        _key_state["key"], sub = jax.random.split(_key_state["key"])
     return sub
 
 
@@ -123,12 +131,7 @@ def asarray(x: Any, dtype: Optional[Any] = None) -> jax.Array:
     mod = type(x).__module__
     if mod.startswith("torch"):
         x = x.detach().cpu().numpy()
-    if isinstance(x, (float, int, complex)) or (
-        isinstance(x, np.ndarray) and x.dtype.kind == "f" and dtype is None
-    ):
-        pass
-    arr = jnp.asarray(x, dtype=dtype)
-    return arr
+    return jnp.asarray(x, dtype=dtype)
 
 
 def to_numpy(x: Any) -> np.ndarray:
