@@ -47,6 +47,22 @@ def main():
     print("min found/true:", float(tn.minimum(q, verbose=False)), float(q.full().min()))
     print("argmax:", tn.argmax(q, verbose=False))
 
+    # Differentiable cross (reference diffcross.ipynb): record the pivots
+    # once, then replay them with fresh evaluations — no maxvol in the
+    # replay, so jax.grad flows through the whole interpolation
+    w = tn.randn(8, 8, 8, 8, ranks_tt=3, key=jax.random.key(8))
+    _, info = tn.cross(lambda x: x**2, tensors=[w], verbose=False,
+                       return_info=True, seed=1)
+
+    def loss(cores):
+        wt = tn.Tensor(list(cores))
+        out = tn.cross_forward(info, lambda x: x**2, tensors=[wt])
+        return tn.normsq(out)
+
+    g = jax.grad(loss)(tuple(w.cores))
+    print("grad through cross_forward: |g0| = {:.4g}".format(
+        float(jnp.abs(g[0]).max())))
+
 
 if __name__ == "__main__":
     main()
