@@ -21,6 +21,14 @@ import time
 
 import numpy as np
 
+if os.environ.get("TN_DEVICE", "cpu") == "cpu":
+    # f64 CPU-vs-CPU is the documented comparison; under the axon
+    # sitecustomize the default backend would otherwise be the TPU (f32)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 
 def make_data():
     X, Y, Z = np.meshgrid(range(128), range(128), range(128))
