@@ -90,3 +90,23 @@ def test_fused_cross_cp_input():
     t3 = tn.cross(lambda x, y: x * y, tensors=[t, s], verbose=False, seed=4, fuse=True)
     gt3 = t.numpy() * s.numpy()
     assert np.linalg.norm(t3.numpy() - gt3) / np.linalg.norm(gt3) <= 1e-6
+
+
+def test_fused_matches_eager_across_formats():
+    """fuse=True and fuse=False must produce the same interpolation for the
+    same seed across tensor formats and callback modes."""
+    rng = np.random.RandomState(44)
+    for i in range(3):
+        t = random_format([6, 7, 8], rng=rng)
+        a = tn.cross(lambda x: x * 2 + 1, tensors=[t], verbose=False, seed=i, fuse=False)
+        b = tn.cross(lambda x: x * 2 + 1, tensors=[t], verbose=False, seed=i, fuse=True)
+        gt = t.numpy() * 2 + 1
+        assert np.linalg.norm(a.numpy() - gt) / np.linalg.norm(gt) <= 1e-6
+        assert np.linalg.norm(b.numpy() - gt) / np.linalg.norm(gt) <= 1e-6
+
+    d = [jnp.linspace(1, 16, 16)] * 4
+    gt = 1.0 / sum(jnp.meshgrid(*d, indexing="ij"))
+    for fuse in (False, True):
+        h = tn.cross(function=lambda M: 1.0 / jnp.sum(M, axis=1), domain=d,
+                     function_arg="matrix", eps=1e-6, verbose=False, seed=0, fuse=fuse)
+        assert float(tn.relative_error(tn.Tensor(gt), h)) <= 1e-6
