@@ -74,3 +74,46 @@ def _one_trial(trial):
 def test_fuzz_vs_dense_oracle():
     for trial in range(16):
         _one_trial(trial)
+
+
+def test_fuzz_batch_vs_dense_oracle():
+    """Batch layout: arithmetic/broadcast, rounding, per-sample dot/norm,
+    transpose, cat — against the per-sample dense oracle."""
+    import jax.numpy as jnp
+
+    for trial in range(6):
+        rng = np.random.RandomState(20_000 + trial)
+        N = rng.randint(2, 4)
+        B = rng.randint(2, 5)
+        shape = [int(v) for v in rng.randint(2, 7, N)]
+        x1 = rng.standard_normal([B] + shape)
+        x2 = rng.standard_normal([B] + shape)
+        t1 = tn.Tensor(jnp.asarray(x1), batch=True)
+        t2 = tn.Tensor(jnp.asarray(x2), batch=True)
+
+        assert np.allclose((t1 + t2).numpy(), x1 + x2, atol=1e-9)
+        assert np.allclose((t1 * t2).numpy(), x1 * x2, atol=1e-9)
+
+        s = t1 + t1
+        s.round_tt()
+        assert np.allclose(s.numpy(), 2 * x1, atol=1e-8)
+
+        d = tn.dot(t1, t2)
+        gt = (x1.reshape(B, -1) * x2.reshape(B, -1)).sum(axis=1)
+        assert np.allclose(np.asarray(d), gt, atol=1e-8)
+
+        assert np.allclose(
+            tn.transpose(t1).numpy(),
+            np.transpose(x1, (0,) + tuple(range(N, 0, -1))),
+            atol=1e-9,
+        )
+
+        c = tn.cat(t1, t2, dim=0)
+        assert np.allclose(c.numpy(), np.concatenate([x1, x2], axis=1), atol=1e-8)
+
+        # broadcast: size-1 mode on one side
+        shape_b = list(shape)
+        shape_b[rng.randint(N)] = 1
+        xb = rng.standard_normal([B] + shape_b)
+        tb = tn.Tensor(jnp.asarray(xb), batch=True)
+        assert np.allclose((t1 + tb).numpy(), x1 + xb, atol=1e-8)
