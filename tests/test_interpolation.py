@@ -123,3 +123,19 @@ def test_save_load_orbax(tmp_path):
     tn.save_orbax(t, p)
     t2 = tn.load_orbax(p)
     assert np.linalg.norm(t2.numpy() - t.numpy()) <= 1e-12
+
+
+def test_als_completion_restarts():
+    """restarts= retries plateaued inits and returns the best fit (ALS is
+    init-sensitive at fixed rank; the reference stalls the same way)."""
+    rng = np.random.default_rng(0)
+    gt = tn.rand([32, 32], ranks_tt=4, key=jax.random.key(0))
+    full = np.asarray(gt.full())
+    mask = rng.random((32, 32)) < 0.5
+    X = np.argwhere(mask)
+    y = jnp.asarray(full[mask])
+    tn.utils.seed(1)  # with this stream, the FIRST init plateaus (eps ~2e-2)
+    t = tn.als_completion(jnp.asarray(X), y, ranks_tt=4, shape=[32, 32],
+                          niter=15, verbose=False, restarts=4)
+    err = np.linalg.norm(np.asarray(t.full()) - full) / np.linalg.norm(full)
+    assert err <= 1e-3, err

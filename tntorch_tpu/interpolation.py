@@ -78,7 +78,9 @@ def _mode_segments(X, mu, I, ws):
 
 
 def als_completion(
-    X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbose=True, mesh=None
+    X, y, ranks_tt, shape=None, ws=None, x0=None, niter=10, verbose=True,
+    mesh=None, restarts: int = 1, restart_tol: float = 1e-4,
+    _return_eps: bool = False,
 ):
     """Complete a TT from P (index, value) samples by alternating least
     squares with memoized left/right product chains
@@ -92,7 +94,26 @@ def als_completion(
         batched gather/normal-equation/solve pipeline with no communication
         beyond the scalar SSE reduction. Mode sizes are padded to the axis
         size with empty slices.
+    :param restarts: fixed-rank ALS is init-sensitive (it plateaus from
+        roughly half of random inits on hard instances — the reference
+        behaves the same); with restarts > 1 and no explicit ``x0``, up to
+        that many fresh random inits are tried and the fit with the lowest
+        final training residual is returned, stopping early once the
+        relative residual drops below ``restart_tol``.
     """
+    if restarts > 1 and x0 is None:
+        best, best_eps = None, float("inf")
+        for _ in range(int(restarts)):
+            cand, eps = als_completion(
+                X, y, ranks_tt, shape=shape, ws=ws, x0=None, niter=niter,
+                verbose=verbose, mesh=mesh, restarts=1, _return_eps=True,
+            )
+            if eps < best_eps:
+                best, best_eps = cand, eps
+            if eps < restart_tol:
+                break
+        return best
+
     X = np.asarray(to_numpy(X))
     assert not np.issubdtype(X.dtype, np.floating)
     assert X.ndim == 2
@@ -161,6 +182,7 @@ def als_completion(
         return sse
 
     start = time.time()
+    eps = float("inf")
     for swp in range(niter):
         for mu in range(N - 1):
             optimize_core(mu, "right")
@@ -171,6 +193,8 @@ def als_completion(
             print("iter: {: <{}}".format(swp, len("{}".format(niter)) + 1), end="")
             print("| eps: {:.3e}".format(eps), end="")
             print(" | time: {:8.4f}".format(time.time() - start))
+    if _return_eps:
+        return x0, eps
     return x0
 
 
