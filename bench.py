@@ -108,12 +108,15 @@ def bench_ours_rand(cores_np, rmax, iters=20):
 
 
 def bench_ours_batched(cores_np, rmax, B=32, iters=10, edge_solver="eigh"):
-    """vmapped Gram rounding over a batch of B independent TTs — the
-    throughput number (single-stream is floored by dispatch latency)."""
+    """Natively-batched Gram rounding over B independent TTs — the
+    throughput number (single-stream is floored by dispatch latency). On
+    TPU the Gram-chain edges run as fused Pallas kernels (the chain is
+    ~70% of the sweep and memory-bound; fusing keeps the intermediate in
+    VMEM — see PERF.md)."""
     import jax
     import jax.numpy as jnp
 
-    from tntorch_tpu.ops.rounding import _round_tt_gram_body
+    from tntorch_tpu.ops.rounding import round_tt_gram_batched
 
     rng = np.random.default_rng(1)
     bcores = tuple(
@@ -123,17 +126,13 @@ def bench_ours_batched(cores_np, rmax, B=32, iters=10, edge_solver="eigh"):
         )
         for c in cores_np
     )
-    fn = jax.jit(
-        jax.vmap(
-            lambda *cs: tuple(_round_tt_gram_body(list(cs), rmax, edge_solver=edge_solver))
-        ),
-        static_argnums=(),
-    )
-    out = fn(*bcores)
+    use_pallas = jax.default_backend() != "cpu"
+    fn = lambda: round_tt_gram_batched(bcores, rmax, edge_solver, use_pallas)
+    out = fn()
     _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*bcores)
+        out = fn()
     _sync(out)
     return (time.perf_counter() - t0) / iters / B
 

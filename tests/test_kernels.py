@@ -106,3 +106,54 @@ def test_round_gram_rand_quasi_optimal():
     assert [int(r) for r in t2.ranks_tt[1:-1]] == [8, 8, 8]
     e_rand = float(jnp.linalg.norm(t2.full() - dense) / jnp.linalg.norm(dense))
     assert e_rand <= e_opt * 1.1 + 1e-12, (e_rand, e_opt)
+
+
+def test_pallas_gram_edges_interpret():
+    """Fused Pallas Gram-chain edges (interpret mode) match the einsum pair."""
+    from tntorch_tpu.ops.pallas_gram import (
+        HAVE_PALLAS, pallas_gram_edge, pallas_left_gram_edge,
+    )
+
+    if not HAVE_PALLAS:
+        return
+    rng = np.random.default_rng(21)
+    B, Rl, I, Rr = 2, 16, 48, 8
+    C = jnp.asarray(rng.standard_normal((B, Rl, I, Rr)), dtype=jnp.float32)
+    G = jnp.asarray(rng.standard_normal((B, Rr, Rr)), dtype=jnp.float32)
+    L = jnp.asarray(rng.standard_normal((B, Rl, Rl)), dtype=jnp.float32)
+
+    want = jnp.einsum("zaic,zdic->zad", jnp.einsum("zaib,zbc->zaic", C, G), C)
+    got = pallas_gram_edge(C, G, interpret=True)
+    assert float(jnp.abs(got - want).max()) <= 1e-4 * float(jnp.abs(want).max())
+
+    want_l = jnp.einsum("zaib,zac,zcid->zbd", C, L, C)
+    got_l = pallas_left_gram_edge(C, L, interpret=True)
+    assert float(jnp.abs(got_l - want_l).max()) <= 1e-4 * float(jnp.abs(want_l).max())
+
+
+def test_round_tt_gram_batched_matches_vmap():
+    """The natively-batched rounding body (einsum path) is bit-identical to
+    vmapping the per-sample body, for both edge solvers."""
+    from tntorch_tpu.ops.rounding import _round_tt_gram_body, round_tt_gram_batched
+
+    B, N, I, R, rmax = 3, 4, 12, 8, 4
+    rng = np.random.default_rng(22)
+    ranks = [1] + [R] * (N - 1) + [1]
+    bcores = tuple(
+        jnp.asarray(rng.standard_normal((B, ranks[n], I, ranks[n + 1])))
+        for n in range(N)
+    )
+
+    def full(cs):
+        f = cs[0].reshape(B, -1, cs[0].shape[-1])
+        for c in cs[1:]:
+            f = jnp.einsum("zpr,zriq->zpiq", f, c).reshape(B, -1, c.shape[-1])
+        return f
+
+    for solver in ("eigh", "rand"):
+        ref = jax.vmap(
+            lambda *cs: tuple(_round_tt_gram_body(list(cs), rmax, edge_solver=solver))
+        )(*bcores)
+        got = round_tt_gram_batched(bcores, rmax, solver, False)
+        diff = float(jnp.abs(full([jnp.asarray(c) for c in ref]) - full(list(got))).max())
+        assert diff <= 1e-10, (solver, diff)

@@ -646,3 +646,105 @@ def round_tt_flops(shapes, rmax: int) -> float:
         cur[mu] = (r, I, Rr)
         cur[mu - 1] = (Pl, PI, r)
     return flops
+
+
+# ---------------------------------------------------------------------------
+# Batched Gram rounding with fused Pallas edges (ops/pallas_gram.py)
+# ---------------------------------------------------------------------------
+
+def _sqrt_factor_batched(G, eps_rel=None):
+    """Batched _sqrt_factor: (B, n, n) -> (F, Finv), same jitter policy."""
+    from jax.scipy.linalg import solve_triangular
+
+    if eps_rel is None:
+        eps_rel = 1e-12 if G.dtype == jnp.float64 else 1e-6
+    n = G.shape[-1]
+    tr = jnp.einsum("...ii->...", G)[..., None, None]
+    jitter = eps_rel * tr + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
+    F = jnp.linalg.cholesky(G + jitter * jnp.eye(n, dtype=G.dtype))
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
+    Finv = solve_triangular(F, eye, lower=True, trans=1)
+    return F, Finv
+
+
+def _cholqr_batched(Y):
+    from jax.scipy.linalg import solve_triangular
+
+    eps_rel = 1e-12 if Y.dtype == jnp.float64 else 1e-6
+    G = jnp.einsum("...ka,...kb->...ab", Y, Y)
+    tr = jnp.einsum("...ii->...", G)[..., None, None]
+    jit = eps_rel * tr + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
+    R = jnp.linalg.cholesky(
+        G + jit * jnp.eye(G.shape[-1], dtype=Y.dtype), upper=True
+    )
+    return jnp.swapaxes(
+        solve_triangular(R, jnp.swapaxes(Y, -1, -2), lower=False, trans=1), -1, -2
+    )
+
+
+def _subspace_topr_batched(A, r, q=2):
+    Om = jax.random.normal(jax.random.key(7), (A.shape[-1], r), dtype=A.dtype)
+    Y = A @ Om
+    for _ in range(q):
+        Y = A @ _cholqr_batched(Y)
+    return _cholqr_batched(Y)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
+                          use_pallas: bool = False):
+    """Fixed-rank Gram rounding of a BATCH of TTs, written natively batched
+    (cores (B, Rl, I, Rr)): small factorizations ride jnp's batched linalg,
+    and with ``use_pallas`` the two Gram-chain contractions per edge run as
+    fused Pallas kernels that keep the (B, Rl, I, Rr)-sized intermediate in
+    VMEM — the chain is ~70% of the sweep's time and memory-bound, so
+    fusing it is worth ~1.5-2x end to end on TPU (see PERF.md).
+
+    Matches jax.vmap(_round_tt_gram_body) numerically (same math; the
+    Pallas edges reorder the i-accumulation, so agreement is to roundoff).
+    """
+    from tntorch_tpu.ops.pallas_gram import (
+        gram_edge_supported, pallas_gram_edge, pallas_left_gram_edge,
+    )
+
+    with jax.default_matmul_precision("highest"):
+        cores = list(cores)
+        N = len(cores)
+        dtype = cores[0].dtype
+        B = cores[0].shape[0]
+
+        G = [None] * (N + 1)
+        G[N] = jnp.ones((B, 1, 1), dtype=dtype)
+        for k in range(N, 1, -1):
+            C = cores[k - 1]
+            if use_pallas and gram_edge_supported(C) and G[k].shape[-1] == C.shape[-1]:
+                G[k - 1] = pallas_gram_edge(C, G[k])
+            else:
+                T = jnp.einsum("zaib,zbc->zaic", C, G[k])
+                G[k - 1] = jnp.einsum("zaic,zdic->zad", T, C)
+
+        L = jnp.ones((B, 1, 1), dtype=dtype)
+        for k in range(1, N):
+            C = cores[k - 1]
+            if use_pallas and gram_edge_supported(C) and L.shape[-1] == C.shape[1]:
+                Lk = pallas_left_gram_edge(C, L)
+            else:
+                Lk = jnp.einsum("zaib,zac,zcid->zbd", C, L, C)
+            F, Finv = _sqrt_factor_batched(Lk)
+            A = jnp.swapaxes(F, -1, -2) @ G[k] @ F
+            rk = rmax if isinstance(rmax, int) else rmax[k - 1]
+            r = min(rk, A.shape[-1])
+            if edge_solver == "rand" and r < A.shape[-1]:
+                U = _subspace_topr_batched(A, r)
+            else:
+                _, V = jnp.linalg.eigh(A)
+                U = V[..., ::-1][..., :r]
+            X = Finv @ U
+            Y = jnp.swapaxes(U, -1, -2) @ jnp.swapaxes(F, -1, -2)
+            cores[k - 1] = jnp.einsum("zaib,zbc->zaic", C, X)
+            nxt = cores[k]
+            cores[k] = jnp.einsum(
+                "zrb,zbj->zrj", Y, nxt.reshape(B, nxt.shape[1], -1)
+            ).reshape(B, r, nxt.shape[2], nxt.shape[3])
+            L = jnp.broadcast_to(jnp.eye(r, dtype=dtype), (B, r, r))
+        return tuple(cores)
