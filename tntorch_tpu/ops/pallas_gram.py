@@ -41,6 +41,22 @@ _TILE_I = 16  # mode-index tile: T tile = (Rl, TILE_I * Rr) stays in VMEM
 # (measured at B=32, R=128, I=256: tile 16 = 4.30 ms vs 4.52 at 32; >=64
 # exceeds VMEM)
 
+# Mosaic's scoped-VMEM footprint is ~6 tile-sized buffers (C tile, T, the
+# layout-cast copies, accumulator): a 256x16x256 f32 tile was rejected at
+# 26.08M against the 16M limit, 128x16x128 compiled at ~6.5M
+_VMEM_BUDGET = 14 * 2**20
+_COPIES = 6
+
+
+def _pick_tile(Rl, I, Rr):
+    """Largest power-of-two tile <= _TILE_I that divides I and fits VMEM."""
+    tile = _TILE_I
+    while tile > 1 and (I % tile or _COPIES * Rl * tile * Rr * 4 > _VMEM_BUDGET):
+        tile //= 2
+    if I % tile or _COPIES * Rl * tile * Rr * 4 > _VMEM_BUDGET:
+        return 0
+    return tile
+
 
 def _gram_edge_kernel(c_ref, g_ref, out_ref):
     """One (batch, i-tile) step: out += (C_tile @ G) . C_tile."""
@@ -83,9 +99,8 @@ def pallas_gram_edge(C, G, interpret: bool = False):
     if not HAVE_PALLAS:
         raise RuntimeError("Pallas unavailable in this jaxlib build")
     B, Rl, I, Rr = C.shape
-    tile = _TILE_I
-    while I % tile:
-        tile //= 2
+    tile = _pick_tile(Rl, I, Rr)
+    assert tile, "unsupported shape (check gram_edge_supported first)"
     grid = (B, I // tile)
     return pl.pallas_call(
         _gram_edge_kernel,
@@ -143,9 +158,8 @@ def pallas_left_gram_edge(C, L, interpret: bool = False):
     if not HAVE_PALLAS:
         raise RuntimeError("Pallas unavailable in this jaxlib build")
     B, Rl, I, Rr = C.shape
-    tile = _TILE_I
-    while I % tile:
-        tile //= 2
+    tile = _pick_tile(Rl, I, Rr)
+    assert tile, "unsupported shape (check gram_edge_supported first)"
     grid = (B, I // tile)
     return pl.pallas_call(
         _left_gram_edge_kernel,
@@ -164,15 +178,15 @@ def pallas_left_gram_edge(C, L, interpret: bool = False):
 
 
 def gram_edge_supported(C) -> bool:
-    """Shape/dtype gate for the fused kernel: f32, lane-friendly ranks, and
-    a C tile + T tile that fit the VMEM budget."""
+    """Shape/dtype gate for the fused kernel: f32, lane-aligned ranks, and
+    a C tile + T tile that fit the VMEM budget.
+
+    The kernels reshape between (Rl*TI, Rr) and (Rl, TI*Rr) layouts in
+    VMEM; Mosaic only supports that shape cast when the minor (lane)
+    dimension is a multiple of 128 on both sides, so Rr must be
+    128-aligned (verified: Rr=128 compiles, Rr=16 fails with
+    'unsupported shape cast')."""
     if not HAVE_PALLAS or C.dtype != jnp.float32 or C.ndim != 4:
         return False
     B, Rl, I, Rr = C.shape
-    tile = _TILE_I
-    while I % tile and tile > 1:
-        tile //= 2
-    if I % tile:
-        return False
-    vmem = (Rl * tile * Rr * 2 + 2 * Rr * Rr + Rl * Rl) * 4
-    return Rl % 8 == 0 and Rr % 8 == 0 and vmem <= 12 * 2**20
+    return Rl % 8 == 0 and Rr % 128 == 0 and _pick_tile(Rl, I, Rr) > 0

@@ -1362,9 +1362,14 @@ class Tensor:
             rt = tuple(int(r) for r in rmax)
             with tn.utils.trace_annotation("tn.round_tt:gram_kernel"):
                 if self.batch:
-                    out = jax.vmap(
-                        lambda *cs: tuple(round_tt_gram(cs, rt, edge_solver=solver))
-                    )(*self.cores)
+                    # Natively-batched body; on TPU the Gram-chain edges run
+                    # as fused Pallas kernels when shapes allow
+                    from tntorch_tpu.ops.rounding import round_tt_gram_batched
+
+                    out = round_tt_gram_batched(
+                        tuple(self.cores), rt, solver,
+                        jax.default_backend() not in ("cpu",),
+                    )
                 else:
                     out = round_tt_gram(tuple(self.cores), rt, edge_solver=solver)
             self.cores = list(out)
