@@ -126,7 +126,7 @@ def bench_ours_batched(cores_np, rmax, B=32, iters=10, edge_solver="eigh"):
         )
         for c in cores_np
     )
-    use_pallas = jax.default_backend() != "cpu"
+    use_pallas = jax.default_backend() == "tpu"
     fn = lambda: round_tt_gram_batched(bcores, rmax, edge_solver, use_pallas)
     out = fn()
     _sync(out)

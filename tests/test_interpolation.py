@@ -139,3 +139,12 @@ def test_als_completion_restarts():
                           niter=15, verbose=False, restarts=4)
     err = np.linalg.norm(np.asarray(t.full()) - full) / np.linalg.norm(full)
     assert err <= 1e-3, err
+
+
+def test_als_completion_restarts_never_returns_none():
+    rng = np.random.default_rng(1)
+    X = np.argwhere(np.ones((6, 6), dtype=bool))
+    y = jnp.asarray(rng.standard_normal(36))
+    t = tn.als_completion(jnp.asarray(X), y, ranks_tt=2, shape=[6, 6],
+                          niter=0, verbose=False, restarts=3)
+    assert t is not None and hasattr(t, "cores")

@@ -161,3 +161,24 @@ def test_f32_als_completion_underdetermined_no_nans():
     )
     vals = np.asarray(r.full())
     assert np.isfinite(vals).all()
+
+
+def test_batch_gram_round_respects_policy():
+    """Batch round_tt(algorithm='gram') must honor tn.set_policy — the
+    'bf16' policy routes to the per-sample bf16 kernel (found in review:
+    the batched body silently pinned 'highest')."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(30)
+    x = rng.standard_normal((3, 8, 8, 8)).astype(np.float32)
+    t = tn.Tensor(jnp.asarray(x), batch=True, ranks_tt=4)
+    for policy in ("bf16", "default"):
+        tn.set_policy(policy)
+        try:
+            s = t + t
+            s.round_tt(rmax=4, algorithm="gram")
+        finally:
+            tn.set_policy("highest")
+        err = np.linalg.norm(s.numpy() - 2 * t.numpy()) / np.linalg.norm(2 * t.numpy())
+        tol = 5e-2 if policy == "bf16" else 1e-3
+        assert np.isfinite(err) and err <= tol, (policy, err)

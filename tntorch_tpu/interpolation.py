@@ -108,7 +108,9 @@ def als_completion(
                 X, y, ranks_tt, shape=shape, ws=ws, x0=None, niter=niter,
                 verbose=verbose, mesh=mesh, restarts=1, _return_eps=True,
             )
-            if eps < best_eps:
+            # `best is None` guard: NaN/inf residuals (diverged solves,
+            # niter=0) must still return a tensor, never None
+            if best is None or eps < best_eps:
                 best, best_eps = cand, eps
             if eps < restart_tol:
                 break

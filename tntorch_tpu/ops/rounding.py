@@ -131,7 +131,9 @@ def _tt_dot_body(cores1, cores2):
 
 def _sqrt_factor(G, eps_rel=None):
     """Symmetric PSD square-root factor F (G ~= F F^T) and its inverse-
-    transpose Finv = F^{-T}, via jittered Cholesky.
+    transpose Finv = F^{-T}, via jittered Cholesky. Batched over any
+    leading dims (one implementation serves the per-sample and batched
+    rounding bodies — the jitter policy must not fork).
 
     Rank-deficient input is common here (rounding t+t makes the prefix Gram
     exactly singular), so the jitter must dominate the Gram's own roundoff
@@ -139,14 +141,16 @@ def _sqrt_factor(G, eps_rel=None):
     a trace-SCALED (not trace/n) dtype-aware jitter guarantees positive
     definiteness without the extra eigh a spectral square root would cost
     (an eigh per edge costs ~20% of the whole rounding sweep on TPU)."""
-    if eps_rel is None:
-        eps_rel = 1e-12 if G.dtype == jnp.float64 else 1e-6
-    n = G.shape[0]
-    jitter = eps_rel * jnp.trace(G) + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
-    F = jnp.linalg.cholesky(G + jitter * jnp.eye(n, dtype=G.dtype))  # lower
     from jax.scipy.linalg import solve_triangular
 
-    Finv = solve_triangular(F, jnp.eye(n, dtype=G.dtype), lower=True, trans=1)
+    if eps_rel is None:
+        eps_rel = 1e-12 if G.dtype == jnp.float64 else 1e-6
+    n = G.shape[-1]
+    tr = jnp.einsum("...ii->...", G)[..., None, None]
+    jitter = eps_rel * tr + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
+    F = jnp.linalg.cholesky(G + jitter * jnp.eye(n, dtype=G.dtype))  # lower
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
+    Finv = solve_triangular(F, eye, lower=True, trans=1)
     return F, Finv
 
 
@@ -238,15 +242,19 @@ def _round_tt_gram_bf16_jit(cores, rmax):
 def _cholqr(Y):
     """One CholeskyQR pass (Q only): Gram + jittered Cholesky + triangular
     solve — fuses to ~nothing inside a jitted program (vs ~0.5 ms per eigh
-    of the same size on TPU). The jitter is dtype-aware (must exceed
-    eps(dtype) * trace or exactly-singular sketches NaN in f32)."""
+    of the same size on TPU). Batched over leading dims; the jitter is
+    dtype-aware (must exceed eps(dtype) * trace or exactly-singular
+    sketches NaN in f32)."""
     from jax.scipy.linalg import solve_triangular
 
     eps_rel = 1e-12 if Y.dtype == jnp.float64 else 1e-6
-    G = Y.T @ Y
-    jit = eps_rel * jnp.trace(G) + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
-    R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[0], dtype=Y.dtype), upper=True)
-    return solve_triangular(R, Y.T, lower=False, trans=1).T
+    G = jnp.einsum("...ka,...kb->...ab", Y, Y)
+    tr = jnp.einsum("...ii->...", G)[..., None, None]
+    jit = eps_rel * tr + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
+    R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[-1], dtype=Y.dtype), upper=True)
+    return jnp.swapaxes(
+        solve_triangular(R, jnp.swapaxes(Y, -1, -2), lower=False, trans=1), -1, -2
+    )
 
 
 def _subspace_topr(A, r, q=2):
@@ -256,7 +264,7 @@ def _subspace_topr(A, r, q=2):
     CholeskyQR re-orthogonalization — all MXU matmuls, no eigh. A is already
     a Gram matrix (eigenvalues = sigma^2), so each iteration sharpens the
     spectral contrast by sigma^4."""
-    Om = jax.random.normal(jax.random.key(7), (A.shape[0], r), dtype=A.dtype)
+    Om = jax.random.normal(jax.random.key(7), (A.shape[-1], r), dtype=A.dtype)
     Y = A @ Om
     for _ in range(q):
         Y = A @ _cholqr(Y)
@@ -652,47 +660,12 @@ def round_tt_flops(shapes, rmax: int) -> float:
 # Batched Gram rounding with fused Pallas edges (ops/pallas_gram.py)
 # ---------------------------------------------------------------------------
 
-def _sqrt_factor_batched(G, eps_rel=None):
-    """Batched _sqrt_factor: (B, n, n) -> (F, Finv), same jitter policy."""
-    from jax.scipy.linalg import solve_triangular
+# The per-sample helpers above are written batched (ellipsis einsums), so
+# the batched body reuses them directly — one jitter/numerics policy.
 
-    if eps_rel is None:
-        eps_rel = 1e-12 if G.dtype == jnp.float64 else 1e-6
-    n = G.shape[-1]
-    tr = jnp.einsum("...ii->...", G)[..., None, None]
-    jitter = eps_rel * tr + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
-    F = jnp.linalg.cholesky(G + jitter * jnp.eye(n, dtype=G.dtype))
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
-    Finv = solve_triangular(F, eye, lower=True, trans=1)
-    return F, Finv
-
-
-def _cholqr_batched(Y):
-    from jax.scipy.linalg import solve_triangular
-
-    eps_rel = 1e-12 if Y.dtype == jnp.float64 else 1e-6
-    G = jnp.einsum("...ka,...kb->...ab", Y, Y)
-    tr = jnp.einsum("...ii->...", G)[..., None, None]
-    jit = eps_rel * tr + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
-    R = jnp.linalg.cholesky(
-        G + jit * jnp.eye(G.shape[-1], dtype=Y.dtype), upper=True
-    )
-    return jnp.swapaxes(
-        solve_triangular(R, jnp.swapaxes(Y, -1, -2), lower=False, trans=1), -1, -2
-    )
-
-
-def _subspace_topr_batched(A, r, q=2):
-    Om = jax.random.normal(jax.random.key(7), (A.shape[-1], r), dtype=A.dtype)
-    Y = A @ Om
-    for _ in range(q):
-        Y = A @ _cholqr_batched(Y)
-    return _cholqr_batched(Y)
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
-                          use_pallas: bool = False):
+                          use_pallas: bool = False, precision: str = "highest"):
     """Fixed-rank Gram rounding of a BATCH of TTs, written natively batched
     (cores (B, Rl, I, Rr)): small factorizations ride jnp's batched linalg,
     and with ``use_pallas`` the two Gram-chain contractions per edge run as
@@ -707,7 +680,7 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
         gram_edge_supported, pallas_gram_edge, pallas_left_gram_edge,
     )
 
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         cores = list(cores)
         N = len(cores)
         dtype = cores[0].dtype
@@ -717,7 +690,7 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
         G[N] = jnp.ones((B, 1, 1), dtype=dtype)
         for k in range(N, 1, -1):
             C = cores[k - 1]
-            if use_pallas and gram_edge_supported(C) and G[k].shape[-1] == C.shape[-1]:
+            if use_pallas and gram_edge_supported(C):
                 G[k - 1] = pallas_gram_edge(C, G[k])
             else:
                 T = jnp.einsum("zaib,zbc->zaic", C, G[k])
@@ -726,16 +699,16 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
         L = jnp.ones((B, 1, 1), dtype=dtype)
         for k in range(1, N):
             C = cores[k - 1]
-            if use_pallas and gram_edge_supported(C) and L.shape[-1] == C.shape[1]:
+            if use_pallas and gram_edge_supported(C):
                 Lk = pallas_left_gram_edge(C, L)
             else:
                 Lk = jnp.einsum("zaib,zac,zcid->zbd", C, L, C)
-            F, Finv = _sqrt_factor_batched(Lk)
+            F, Finv = _sqrt_factor(Lk)
             A = jnp.swapaxes(F, -1, -2) @ G[k] @ F
             rk = rmax if isinstance(rmax, int) else rmax[k - 1]
             r = min(rk, A.shape[-1])
             if edge_solver == "rand" and r < A.shape[-1]:
-                U = _subspace_topr_batched(A, r)
+                U = _subspace_topr(A, r)
             else:
                 _, V = jnp.linalg.eigh(A)
                 U = V[..., ::-1][..., :r]

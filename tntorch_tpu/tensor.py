@@ -1355,6 +1355,17 @@ class Tensor:
             # iteration (quasi-optimal truncation, ~2x faster on TPU).
             if any(r is None for r in rmax):
                 raise ValueError(f"algorithm='{algorithm}' requires explicit rmax")
+            if jnp.iscomplexobj(self.cores[0]):
+                raise ValueError(
+                    f"algorithm='{algorithm}' supports real cores only; use "
+                    "'svd' or 'eig' for complex tensors"
+                )
+            if any(U is not None for U in self.Us):
+                # Non-orthogonal factors change the truncation metric: fold
+                # them into the cores first so the Gram chain is exact
+                t2 = self.decompress_tucker_factors()
+                self.cores = t2.cores
+                self.Us = t2.Us
             from tntorch_tpu.ops.rounding import round_tt_gram
 
             solver = "rand" if algorithm == "randgram" else "eigh"
@@ -1362,14 +1373,27 @@ class Tensor:
             rt = tuple(int(r) for r in rmax)
             with tn.utils.trace_annotation("tn.round_tt:gram_kernel"):
                 if self.batch:
-                    # Natively-batched body; on TPU the Gram-chain edges run
-                    # as fused Pallas kernels when shapes allow
-                    from tntorch_tpu.ops.rounding import round_tt_gram_batched
+                    from tntorch_tpu.utils import resolve_precision
 
-                    out = round_tt_gram_batched(
-                        tuple(self.cores), rt, solver,
-                        jax.default_backend() not in ("cpu",),
-                    )
+                    precision = resolve_precision(None)
+                    if precision == "bf16":
+                        # The bf16-in/f32-acc kernel only exists per-sample
+                        from tntorch_tpu.ops.rounding import round_tt_gram as _g
+
+                        out = jax.vmap(lambda *cs: tuple(_g(cs, rt, edge_solver=solver)))(
+                            *self.cores
+                        )
+                    else:
+                        # Natively-batched body; fused Pallas Gram edges on
+                        # TPU at 'highest' precision when shapes allow
+                        from tntorch_tpu.ops.rounding import round_tt_gram_batched
+
+                        use_pallas = (
+                            jax.default_backend() == "tpu" and precision == "highest"
+                        )
+                        out = round_tt_gram_batched(
+                            tuple(self.cores), rt, solver, use_pallas, precision
+                        )
                 else:
                     out = round_tt_gram(tuple(self.cores), rt, edge_solver=solver)
             self.cores = list(out)
