@@ -176,3 +176,23 @@ def test_round_tt_batch_jit():
     t2 = gt + gt
     t2.round_tt()
     assert np.linalg.norm(t2.numpy() - 2 * gt.numpy()) <= 1e-8
+
+
+def test_round_tt_gram_with_tucker_factors():
+    """algorithm='gram' on a TT-Tucker tensor: non-orthogonal factors are
+    folded into the cores first, so truncation happens in the right metric
+    (review finding: the branch previously treated factors as orthonormal).
+    Complex cores get a clear error instead of a silently wrong result."""
+    t = tn.rand([10] * 3, ranks_tt=6, ranks_tucker=5, key=jax.random.key(50))
+    dense = t.numpy()
+    s = t + t
+    s.round_tt(rmax=6, algorithm="gram")
+    assert np.linalg.norm(s.numpy() - 2 * dense) / np.linalg.norm(dense) <= 1e-9
+
+    c = tn.rand([6] * 3, ranks_tt=3, key=jax.random.key(51))
+    c.cores = [jnp.asarray(x, dtype=jnp.complex128) for x in c.cores]
+    try:
+        c.round_tt(rmax=3, algorithm="gram")
+        assert False, "complex gram should raise"
+    except ValueError:
+        pass
