@@ -263,3 +263,80 @@ def test_optimize_clear_error_on_float_loss():
     with pytest.raises(ValueError, match="Python scalar"):
         tn.optimize(t, loss, optimizer=optax.adam(1e-2), max_iter=5, tol=None,
                     verbose=False)
+
+
+def test_setitem_batch_assignments():
+    """Batch __setitem__: integer batch index, trailing int mode, and state
+    preservation (review findings: batch axis dropped; unsqueeze slot off
+    by one; requires_grad reset)."""
+    rng = np.random.default_rng(40)
+    x = rng.standard_normal((3, 4, 5))
+    t = tn.Tensor(jnp.asarray(x), batch=True)
+    v = rng.standard_normal((4, 5))
+    t[1, :, :] = jnp.asarray(v)
+    want = x.copy(); want[1] = v
+    assert np.allclose(t.numpy(), want, atol=1e-9)
+
+    t2 = tn.Tensor(jnp.asarray(x), batch=True)
+    v2 = rng.standard_normal((3, 4))
+    t2[:, :, 2] = jnp.asarray(v2)
+    want2 = x.copy(); want2[:, :, 2] = v2
+    assert np.allclose(t2.numpy(), want2, atol=1e-9)
+
+
+def test_setitem_preserves_trainability():
+    t = tn.rand([5, 6], ranks_tt=2, ranks_tucker=3, requires_grad=True,
+                key=jax.random.key(41))
+    t.set_factors("legendre")
+    t[0, :] = 1.0
+    assert t.requires_grad
+    assert t.frozen_Us == {0, 1}
+
+
+def test_setitem_duplicate_and_negative_indices():
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((4, 5, 6))
+    t = tn.Tensor(jnp.asarray(x))
+    v = rng.standard_normal((2, 5, 6))
+    t[[1, 1]] = jnp.asarray(v)
+    want = x.copy(); want[[1, 1]] = v  # numpy: last write wins
+    assert np.allclose(t.numpy(), want, atol=1e-8)
+
+    t2 = tn.Tensor(jnp.asarray(x))
+    t2[-1] = 0.0
+    want2 = x.copy(); want2[-1] = 0.0
+    assert np.allclose(t2.numpy(), want2, atol=1e-9)
+
+
+def test_getitem_batch_cp_scalar():
+    """Full-integer indexing of a batch CP tensor returns per-sample scalars
+    (the rank axis must be contracted — latent reference defect)."""
+    rng = np.random.default_rng(43)
+    fs = [jnp.asarray(rng.standard_normal((3, 6, 4))) for _ in range(3)]
+    t = tn.Tensor(list(fs), batch=True)
+    dense = t.numpy()
+    got = t[2, 1, 2, 3]
+    assert np.ndim(np.asarray(got)) == 0
+    assert np.isclose(float(got), dense[2, 1, 2, 3])
+    got2 = t[:, 1, 2, 3]
+    assert np.asarray(got2).shape == (3,)
+    assert np.allclose(np.asarray(got2), dense[:, 1, 2, 3])
+
+
+def test_none_accessor_preserves_dtype():
+    t = tn.rand([4, 5], ranks_tt=2, dtype=jnp.float32, key=jax.random.key(44))
+    u = t[None, :, :]
+    assert all(c.dtype == jnp.float32 for c in u.cores), [c.dtype for c in u.cores]
+
+
+def test_pytree_arange_idxs_roundtrip():
+    t = tn.rand([7, 8], ranks_tt=2, key=jax.random.key(45))
+    leaves, treedef = jax.tree_util.tree_flatten(t)
+    t2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    for a, b in zip(t.idxs, t2.idxs):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # masked (non-arange) idxs survive too
+    t.idxs[0] = np.asarray([3, 1, 2, 0, 6, 5, 4])
+    leaves, treedef = jax.tree_util.tree_flatten(t)
+    t3 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert np.array_equal(t3.idxs[0], t.idxs[0])

@@ -846,11 +846,17 @@ class Tensor:
                     if not batch_dim_processed:
                         raise ValueError("Cannot change batch dimension")
                     r = int(self.ranks_tt[counter - 1])
-                    eye = jnp.tile(jnp.eye(r)[None], (self.shape[0], 1, 1))
+                    eye = jnp.tile(
+                        jnp.eye(r, dtype=self.cores[0].dtype)[None],
+                        (self.shape[0], 1, 1),
+                    )
                     insert_core(eye[:, :, None, :], key=slice(None), U=None)
                 else:
                     r = int(self.ranks_tt[counter])
-                    insert_core(jnp.eye(r)[:, None, :], key=slice(None), U=None)
+                    insert_core(
+                        jnp.eye(r, dtype=self.cores[0].dtype)[:, None, :],
+                        key=slice(None), U=None,
+                    )
             elif this_mode == "slice":
                 if batch and not batch_dim_processed:
                     batch_dim_processed = True
@@ -932,11 +938,15 @@ class Tensor:
                     cores[-1] = jnp.einsum(f"{B}iaj,{B}j->{B}ai", last, factors["int"])
                 elif n1 == 3 and n2 == 2:
                     cores[-1] = jnp.einsum(f"{B}iaj,{B}jk->{B}iak", last, factors["int"])
-            else:  # scalar result
+            else:  # scalar result (per sample in batch mode)
                 f = factors["int"]
-                if not batch and f.size > 1:
+                # Any surviving axes are CP-rank / boundary-rank artifacts;
+                # the contraction sums them (size-1 axes sum to themselves).
+                # The reference leaves a rank-R vector here for CP input —
+                # a latent defect its own non-batch path avoids.
+                if not batch or isinstance(batch_dim_idx, (int, np.integer)):
                     return jnp.sum(f)
-                return jnp.squeeze(f)
+                return jnp.sum(f, axis=tuple(range(1, f.ndim))) if f.ndim > 1 else f
 
         if batch and isinstance(batch_dim_idx, (int, np.integer)):
             nUs = [None if U is None else U[0] for U in Us]
@@ -945,6 +955,12 @@ class Tensor:
 
     def __setitem__(self, key, value):
         """Algebraic assignment: self <- self - old_slice + new (reference tensor.py:1436-1563)."""
+        if any(U is not None for U in self.Us):
+            # The scatters below index CORES by mode-space keys, which is
+            # only meaningful without Tucker factors; fold them in first
+            t2 = self.decompress_tucker_factors()
+            self.cores = t2.cores
+            self.Us = t2.Us
         key = self._process_key(key)
         scalar = False
         if isinstance(value, np.ndarray) or type(value).__module__.startswith("torch") or isinstance(value, jax.Array):
@@ -969,20 +985,36 @@ class Tensor:
         key_length = len(key) - (1 if self.batch else 0)
         dtype = self.cores[0].dtype
 
+        if self.batch and not isinstance(key[0], slice) and not hasattr(key[0], "__len__"):
+            # Integer batch index: keep the batch axis as a length-1 slice
+            # (dropping it would misalign every scatter below — the
+            # reference converts it the same way, tensor.py:1466)
+            k0 = int(key[0])
+            k0 = k0 + self.shape[0] if k0 < 0 else k0
+            key[0] = slice(k0, k0 + 1)
+
         for i in range(key_length):
             ki = i + 1 if self.batch else i
             if not isinstance(key[ki], slice) and not hasattr(key[ki], "__len__"):
-                key[ki] = slice(int(key[ki]), int(key[ki]) + 1)
+                # Normalize negative ints (slice(-1, 0) is EMPTY — the
+                # reference's unnormalized conversion silently no-ops t[-1]=v)
+                kk = int(key[ki])
+                mode_size = self.shape[i + 1] if self.batch else self.shape[i]
+                kk = kk + int(mode_size) if kk < 0 else kk
+                key[ki] = slice(kk, kk + 1)
 
+            # Scatters below use .set, not .add: duplicate fancy indices must
+            # resolve to last-write (numpy/torch assignment semantics), not
+            # accumulate
             if self.batch:
                 chunk = self.cores[i][key[0], ..., key[i + 1], :]
-                subtract_core = jnp.zeros_like(self.cores[i]).at[key[0], ..., key[i + 1], :].add(chunk)
-                sh = chunk.shape[2]
+                subtract_core = jnp.zeros_like(self.cores[i]).at[key[0], ..., key[i + 1], :].set(chunk)
+                sh = chunk.shape[-2]
                 k = i + 1
             else:
                 chunk = self.cores[i][..., key[i], :]
-                subtract_core = jnp.zeros_like(self.cores[i]).at[..., key[i], :].add(chunk)
-                sh = chunk.shape[1]
+                subtract_core = jnp.zeros_like(self.cores[i]).at[..., key[i], :].set(chunk)
+                sh = chunk.shape[-2]
                 k = i
             subtract_cores.append(subtract_core)
 
@@ -992,13 +1024,13 @@ class Tensor:
                         add_core = jnp.zeros((self.shape[0], 1, self.shape[i + 1], 1), dtype=dtype)
                     else:
                         add_core = jnp.zeros((self.shape[0], self.shape[i + 1], 1), dtype=dtype)
-                    add_core = add_core.at[key[0], ..., key[i + 1], :].add(1)
+                    add_core = add_core.at[key[0], ..., key[i + 1], :].set(1)
                 else:
                     if self.cores[i].ndim == 3:
                         add_core = jnp.zeros((1, self.shape[i], 1), dtype=dtype)
                     else:
                         add_core = jnp.zeros((self.shape[i], 1), dtype=dtype)
-                    add_core = add_core.at[..., key[i], :].add(1)
+                    add_core = add_core.at[..., key[i], :].set(1)
                 if i == 0:
                     add_core = add_core * value
             else:
@@ -1027,10 +1059,7 @@ class Tensor:
                             (self.cores[i].shape[0], self.shape[i + 1], value.cores[i].shape[2]),
                             dtype=dtype,
                         )
-                    vc = value.cores[i]
-                    if isinstance(key[i + 1], int):
-                        vc = vc[..., 0, :]
-                    add_core = add_core.at[key[0], ..., key[i + 1], :].add(vc)
+                    add_core = add_core.at[key[0], ..., key[i + 1], :].set(value.cores[i])
                 else:
                     if chunk.shape[1] != value.shape[i]:
                         raise ValueError(
@@ -1045,7 +1074,7 @@ class Tensor:
                         )
                     else:
                         add_core = jnp.zeros((self.shape[i], value.cores[i].shape[1]), dtype=dtype)
-                    add_core = add_core.at[..., key[i], :].add(value.cores[i])
+                    add_core = add_core.at[..., key[i], :].set(value.cores[i])
             add_cores.append(add_core)
 
         result = (
@@ -1053,7 +1082,11 @@ class Tensor:
             - Tensor(subtract_cores, batch=self.batch)
             + Tensor(add_cores, batch=self.batch)
         )
+        # __init__ resets trainability state; assignment must preserve it
+        rg, fu = self.requires_grad, set(getattr(self, "frozen_Us", ()))
         self.__init__(result.cores, result.Us, self.idxs, batch=self.batch)
+        self.requires_grad = rg
+        self.frozen_Us = fu
 
     # ------------------------------------------------------------------
     # Decompression (reference tensor.py:1565-1715)
@@ -1543,9 +1576,20 @@ class Tensor:
 # ----------------------------------------------------------------------
 def _tensor_flatten(t: Tensor):
     children = (t.cores, t.Us)
-    idxs = tuple(
-        None if i is None else tuple(np.asarray(i).tolist()) for i in getattr(t, "idxs", [])
-    )
+    def _enc(i):
+        if i is None:
+            return None
+        a = np.asarray(i)
+        # Default annotations are arange(I) per mode; encode them as a tiny
+        # marker instead of an O(I) tuple — aux data is hashed/compared on
+        # EVERY jit dispatch involving a Tensor
+        if a.ndim == 1 and a.size and a[0] == 0 and a[-1] == a.size - 1 and np.array_equal(
+            a, np.arange(a.size)
+        ):
+            return ("arange", int(a.size))
+        return tuple(a.tolist())
+
+    idxs = tuple(_enc(i) for i in getattr(t, "idxs", []))
     aux = (t.batch, idxs, t.requires_grad, tuple(sorted(getattr(t, "frozen_Us", ()))))
     return children, aux
 
@@ -1555,7 +1599,12 @@ def _tensor_unflatten(aux, children):
     t.cores = list(children[0])
     t.Us = list(children[1])
     t.batch = aux[0]
-    t.idxs = [None if i is None else np.asarray(i) for i in aux[1]]
+    t.idxs = [
+        None if i is None
+        else np.arange(i[1]) if isinstance(i, tuple) and len(i) == 2 and i[0] == "arange"
+        else np.asarray(i)
+        for i in aux[1]
+    ]
     t.requires_grad = aux[2]
     t.frozen_Us = set(aux[3]) if len(aux) > 3 else set()
     return t

@@ -32,12 +32,15 @@ def squeeze(t, dim=None):
 
 
 def unsqueeze(t, dim):
-    """Insert singleton dimensions (reference tools.py:37-53)."""
+    """Insert singleton dimensions (reference tools.py:37-53). `dim` counts
+    MODES; for batch tensors the accessor key needs a leading batch slot
+    (without it, the first entry would be read as a batch index)."""
     if not hasattr(dim, "__len__"):
         dim = [dim]
-    idx: list = [slice(None) for _ in range(t.dim() + len(dim))]
+    off = 1 if t.batch else 0
+    idx: list = [slice(None) for _ in range(t.dim() + off + len(dim))]
     for d in dim:
-        idx[d] = None
+        idx[d + off] = None
     return t[tuple(idx)]
 
 
