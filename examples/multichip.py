@@ -9,6 +9,13 @@ import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
+
+if os.environ.get("TN_DEVICE", "cpu") == "cpu":
+    # Simulate the mesh on virtual CPU devices (a JAX_PLATFORMS env var
+    # pointing at an unavailable plugin would otherwise fail at init);
+    # set TN_DEVICE=tpu to run on real accelerators
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
