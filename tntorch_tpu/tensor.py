@@ -571,7 +571,14 @@ class Tensor:
         return self + other - 2 * self * other
 
     def __eq__(self, other):
-        return bool(tn.dist(self, other) <= 1e-14)
+        try:
+            return bool(tn.dist(self, other) <= 1e-14)
+        except jax.errors.TracerBoolConversionError as e:
+            raise ValueError(
+                "Tensor == returns a Python bool (reference semantics) and "
+                "cannot be traced inside jit; compare traceably with "
+                "tn.dist(a, b) <= tol instead"
+            ) from e
 
     def __ne__(self, other):
         return not self == other
