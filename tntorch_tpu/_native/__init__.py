@@ -60,6 +60,7 @@ def get_lib():
 
 
 def native_maxvol(A: np.ndarray, tol: float, max_iters: int):
+    """C++ maxvol over ctypes (csrc/maxvol.cpp); returns (rows, coeff matrix)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -82,6 +83,7 @@ def native_maxvol(A: np.ndarray, tol: float, max_iters: int):
 
 def native_rect_maxvol(A: np.ndarray, tol: float, maxK, minK,
                        start_maxvol_iters: int, identity_submatrix: bool):
+    """C++ rect_maxvol over ctypes (csrc/maxvol.cpp)."""
     lib = get_lib()
     if lib is None:
         return None

@@ -36,6 +36,7 @@ def rand(*shape, **kwargs):
 
 
 def rand_like(t, **kwargs):
+    """Uniform tensor with the shape of `t` (reference create.py:31-41)."""
     return rand(t.shape, **kwargs)
 
 
@@ -48,6 +49,7 @@ def randn(*shape, **kwargs):
 
 
 def randn_like(t, **kwargs):
+    """Gaussian tensor with the shape of `t` (reference create.py:59-69)."""
     return randn(t.shape, **kwargs)
 
 
@@ -60,6 +62,7 @@ def ones(*shape, **kwargs):
 
 
 def ones_like(t, **kwargs):
+    """Rank-1 all-ones tensor with the shape of `t` (reference create.py:87-97)."""
     return ones(t.shape, **kwargs)
 
 
@@ -69,10 +72,12 @@ def full(shape, fill_value, **kwargs):
 
 
 def full_like(t, fill_value, **kwargs):
+    """Constant tensor with the shape of `t` (reference create.py:115-126)."""
     return full(t.shape, fill_value=fill_value, **kwargs)
 
 
 def zeros(*shape, **kwargs):
+    """All-zeros tensor (reference create.py:129-138)."""
     def function(shp, dtype, key=None):
         return jnp.zeros(tuple(shp), dtype=dtype)
 
@@ -80,6 +85,7 @@ def zeros(*shape, **kwargs):
 
 
 def zeros_like(t, **kwargs):
+    """All-zeros tensor with the shape of `t` (reference create.py:141-151)."""
     return zeros(t.shape, **kwargs)
 
 
@@ -106,6 +112,7 @@ def gaussian(*shape, sigma_factor=0.2):
 
 
 def gaussian_like(tensor, **kwargs):
+    """Gaussian-bell tensor with the shape of `tensor` (reference create.py:197-207)."""
     return gaussian(tensor.shape, **kwargs)
 
 
@@ -214,10 +221,12 @@ def arange(*args, **kwargs):
 
 
 def linspace(*args, **kwargs):
+    """1D TT wrapping jnp.linspace (reference create.py:375-387)."""
     dtype = kwargs.pop("dtype", default_dtype())
     return tn.Tensor([jnp.linspace(*args, **kwargs).astype(dtype)[None, :, None]])
 
 
 def logspace(*args, **kwargs):
+    """1D TT wrapping jnp.logspace (reference create.py:390-402)."""
     dtype = kwargs.pop("dtype", default_dtype())
     return tn.Tensor([jnp.logspace(*args, **kwargs).astype(dtype)[None, :, None]])

@@ -41,6 +41,7 @@ def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
 
 
 def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
+    """Coordinates of the minimum (reference cross.py:480-492)."""
     _, info = cross(
         **kwargs, tensors=tensors, function=function, rmax=rmax, max_iter=max_iter,
         verbose=verbose, return_info=True, _minimize=True,
@@ -49,6 +50,7 @@ def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
 
 
 def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
+    """Maximum element, via minimize of -t (reference cross.py:495-507)."""
     _, info = cross(
         **kwargs, function=lambda *x: -function(*x), tensors=tensors, rmax=rmax,
         max_iter=max_iter, verbose=verbose, return_info=True, _minimize=True,
@@ -57,6 +59,7 @@ def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
 
 
 def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
+    """Coordinates of the maximum (reference cross.py:510-522)."""
     _, info = cross(
         **kwargs, tensors=tensors, function=lambda *x: -function(*x), rmax=rmax,
         max_iter=max_iter, verbose=verbose, return_info=True, _minimize=True,

@@ -15,11 +15,13 @@ from tntorch_tpu.utils import default_dtype
 
 
 def true(N):
+    """Formula satisfied by all inputs (reference logic.py:9-21)."""
     dtype = default_dtype()
     return tn.Tensor([jnp.ones((1, 2, 1), dtype=dtype) for _ in range(N)])
 
 
 def false(N):
+    """Formula satisfied by no inputs (reference logic.py:24-36)."""
     dtype = default_dtype()
     return tn.Tensor([jnp.zeros((1, 2, 1), dtype=dtype) for _ in range(N)])
 
@@ -39,6 +41,7 @@ def all(N, which=None):
 
 
 def none(N, which=None):
+    """Formula: no (selected) variable is 1 (reference logic.py:57-70)."""
     if which is None:
         which = list(range(N))
     dtype = default_dtype()
@@ -52,6 +55,7 @@ def none(N, which=None):
 
 
 def any(N, which=None):
+    """Formula: at least one (selected) variable is 1 (reference logic.py:73-87)."""
     return ~none(N, which)
 
 
@@ -63,6 +67,7 @@ def one(N, which=None):
 
 
 def symbols(N):
+    """N presence indicator tensors x_1..x_N (reference logic.py:105-117)."""
     return [presence(N, n) for n in range(N)]
 
 
@@ -79,6 +84,7 @@ def relevant_symbols(t):
 
 
 def irrelevant_symbols(t):
+    """Variables a formula does not depend on (reference logic.py:133-150)."""
     rel = relevant_symbols(t)
     return [n for n in range(t.dim()) if n not in rel]
 
@@ -99,6 +105,7 @@ def presence(N, which):
 
 
 def absence(N, which):
+    """Formula: none of the given variables is 1 (reference logic.py:168-180)."""
     which = np.atleast_1d(which)
     dtype = default_dtype()
     cores = [np.ones([1, 2, 1]) for _ in range(N)]
@@ -108,20 +115,25 @@ def absence(N, which):
 
 
 def is_tautology(t):
+    """True if satisfied by every input (reference logic.py:183-194)."""
     return bool(tn.norm(~t) <= 1e-6)
 
 
 def is_contradiction(t):
+    """True if satisfied by no input (reference logic.py:197-207)."""
     return bool(tn.norm(t) <= 1e-6)
 
 
 def is_satisfiable(t):
+    """True if some input satisfies t (reference logic.py:210-221)."""
     return bool(tn.sum(t) >= 1e-6)
 
 
 def implies(t1, t2):
+    """True if t1 => t2 (reference logic.py:224-236)."""
     return bool(is_contradiction(t1 & ~t2))
 
 
 def equiv(t1, t2):
+    """True if t1 and t2 accept the same inputs (reference logic.py:239-251)."""
     return implies(t1, t2) & implies(t2, t1)

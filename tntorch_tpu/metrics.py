@@ -233,6 +233,7 @@ def var(t, marginals=None):
 
 
 def std(t):
+    """Standard deviation, sqrt(var) (reference metrics.py:263-276)."""
     return jnp.sqrt(var(t))
 
 
@@ -347,12 +348,14 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
 
 
 def normsq(t):
+    """Squared Frobenius norm <t, t> (reference metrics.py:455-466)."""
     if _is_complex(t):
         return _normsq_hermitian(t)
     return dot(t, t)
 
 
 def norm(t):
+    """Frobenius norm (reference metrics.py:469-480); Hermitian for complex cores."""
     if _is_complex(t):
         return jnp.sqrt(_normsq_hermitian(t))
     return jnp.sqrt(jnp.clip(normsq(t), min=0))

@@ -78,16 +78,20 @@ def add(t1, t2):
 
 
 def atan2(t1, t2):
+    """Elementwise atan2(t1, t2) via cross (reference ops.py:22-33)."""
     return tn.cross(lambda x, y: jnp.arctan2(x, y), tensors=[t1, t2], verbose=False)
 
 
 def div(t1, t2):
+    """Elementwise division via cross (reference ops.py:60-71)."""
     return t1 / t2
 
 
 def mul(t1, t2):
+    """Elementwise product via cross (reference ops.py:112-123)."""
     return tn.cross(lambda x, y: x * y, tensors=[t1, t2], verbose=False)
 
 
 def pow(t1, t2):
+    """Elementwise power t**k via cross (the reference's __pow__ is broken, tensor.py:789-795)."""
     return t1**t2

@@ -84,6 +84,7 @@ def shard_ranks(t: "tn.Tensor", mesh: Mesh, axis: str = "tp") -> "tn.Tensor":
 
 
 def replicate(t: "tn.Tensor", mesh: Mesh) -> "tn.Tensor":
+    """Replicate every core across the mesh (dp parameter placement)."""
     specs = [P(*(None,) * c.ndim) for c in t.cores]
     return _put(t, specs, mesh)
 
@@ -101,6 +102,7 @@ def sharded_dot(t1: "tn.Tensor", t2: "tn.Tensor"):
 
 
 def sharded_norm(t: "tn.Tensor"):
+    """Frobenius norm under jit/SPMD: psum-reduced sharded dot."""
     return jnp.sqrt(jnp.clip(sharded_dot(t, t), min=0))
 
 

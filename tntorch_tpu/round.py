@@ -23,12 +23,14 @@ def round_tt(t, **kwargs):
 
 
 def round_tucker(t, **kwargs):
+    """Functional Tucker-rank rounding (reference round.py:9-29)."""
     t2 = t.clone()
     t2.round_tucker(**kwargs)
     return t2
 
 
 def round(t, **kwargs):
+    """Functional combined TT+Tucker rounding (reference round.py:52-69)."""
     t2 = t.clone()
     t2.round(**kwargs)
     return t2

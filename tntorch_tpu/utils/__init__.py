@@ -81,10 +81,12 @@ def set_policy(precision: str) -> None:
 
 
 def get_policy() -> str:
+    """Current library-wide matmul precision policy (see set_policy)."""
     return _precision_policy
 
 
 def resolve_precision(precision=None) -> str:
+    """Explicit precision arg if given, else the library policy."""
     return _precision_policy if precision is None else precision
 
 
@@ -123,6 +125,7 @@ def next_key(key: Optional[jax.Array] = None) -> jax.Array:
 
 
 def default_dtype() -> jnp.dtype:
+    """float64 under jax_enable_x64, else float32."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
@@ -135,6 +138,7 @@ def asarray(x: Any, dtype: Optional[Any] = None) -> jax.Array:
 
 
 def to_numpy(x: Any) -> np.ndarray:
+    """Convert torch/jax/NumPy input to a NumPy array."""
     mod = type(x).__module__
     if mod.startswith("torch"):
         return x.detach().cpu().numpy()
@@ -142,6 +146,7 @@ def to_numpy(x: Any) -> np.ndarray:
 
 
 def is_scalar(x: Any) -> bool:
+    """True for Python/NumPy scalar-like values."""
     if isinstance(x, (int, float, complex, np.integer, np.floating, np.complexfloating)):
         return True
     if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", None) == 0:
