@@ -1,0 +1,115 @@
+"""Batch-lifted analytics (VERDICT r2 #5) + broadcast/assignment fixes (#8).
+
+The reference rejects batch tensors in sum/mean/var/std (metrics.py:18-23);
+here they are vmap-style lifted: batch-vs-loop oracles per function. Also
+covers the _broadcast non-multiple rejection (the reference silently rounds,
+tensor.py:2290-2306) and last-write duplicate-index assignment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tntorch_tpu as tn
+
+np.random.seed(31)
+
+
+def _batch_and_dense(B=3, shape=(4, 5, 6), seed=0):
+    t = tn.rand((B,) + shape, ranks_tt=3, batch=True, key=jax.random.key(seed))
+    return t, np.asarray(t.numpy())
+
+
+def test_batch_sum_mean_var_std_vs_loop():
+    t, dense = _batch_and_dense()
+    axes = tuple(range(1, dense.ndim))
+    np.testing.assert_allclose(np.asarray(tn.sum(t)), dense.sum(axis=axes), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(tn.mean(t)), dense.mean(axis=axes), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(tn.var(t)), dense.var(axis=axes), rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(tn.std(t)), dense.std(axis=axes), rtol=1e-8, atol=1e-12
+    )
+    # batch-vs-loop: each per-sample value matches the non-batch path
+    for b in range(dense.shape[0]):
+        tb = tn.Tensor(dense[b])
+        assert abs(float(tn.sum(t)[b]) - float(tn.sum(tb))) < 1e-8
+        assert abs(float(tn.var(t)[b]) - float(tn.var(tb))) < 1e-8
+
+
+def test_batch_partial_sum_keeps_batch():
+    t, dense = _batch_and_dense()
+    s = tn.sum(t, dim=1)
+    assert s.batch
+    np.testing.assert_allclose(np.asarray(s.numpy()), dense.sum(axis=2), rtol=1e-10)
+    s0 = tn.sum(t, dim=0, keepdim=True)
+    assert s0.shape == (dense.shape[0], 1) + dense.shape[2:]
+
+
+def test_batch_mean_var_with_marginals():
+    t, dense = _batch_and_dense()
+    shape = dense.shape[1:]
+    rs = np.random.RandomState(5)
+    margs = [rs.rand(s) + 0.1 for s in shape]
+    w = margs[0][:, None, None] * margs[1][None, :, None] * margs[2][None, None, :]
+    w = w / w.sum()
+    m = np.asarray(tn.mean(t, marginals=margs))
+    np.testing.assert_allclose(m, (dense * w).sum(axis=(1, 2, 3)), rtol=1e-9)
+    v = np.asarray(tn.var(t, marginals=margs))
+    ref = ((dense - m[:, None, None, None]) ** 2 * w).sum(axis=(1, 2, 3))
+    np.testing.assert_allclose(v, ref, rtol=1e-8)
+
+
+def test_per_sample_scalar_arithmetic():
+    t, dense = _batch_and_dense()
+    c = np.linspace(-2.0, 3.0, dense.shape[0])
+    np.testing.assert_allclose(
+        np.asarray((t + c).numpy()), dense + c[:, None, None, None], rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray((t * c).numpy()), dense * c[:, None, None, None], rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray((t - jnp.asarray(c)).numpy()),
+        dense - c[:, None, None, None],
+        rtol=1e-10,
+    )
+
+
+def test_broadcast_rejects_non_multiples():
+    a = tn.rand((2, 3), ranks_tt=2, key=jax.random.key(1))
+    b = tn.rand((3, 3), ranks_tt=2, key=jax.random.key(2))
+    with pytest.raises(ValueError, match="not integer multiples"):
+        a + b
+    with pytest.raises(ValueError, match="not integer multiples"):
+        a * b
+    # integer multiples still broadcast (reference-compatible)
+    c = tn.rand((1, 3), ranks_tt=1, key=jax.random.key(3))
+    d = tn.rand((4, 3), ranks_tt=2, key=jax.random.key(4))
+    assert (c + d).shape == (4, 3)
+
+
+def test_mixed_batchness_rejected():
+    a = tn.rand((2, 3, 3), ranks_tt=2, batch=True, key=jax.random.key(5))
+    b = tn.rand((3, 3), ranks_tt=2, key=jax.random.key(6))
+    with pytest.raises(ValueError, match="batch"):
+        b + a
+    with pytest.raises(ValueError, match="batch"):
+        b * a
+
+
+def test_duplicate_fancy_index_assignment_last_write():
+    t = tn.rand((5, 6, 7), ranks_tt=3, key=jax.random.key(7))
+    d = np.array(t.numpy())
+    v = tn.rand((3, 6, 7), ranks_tt=2, key=jax.random.key(8))
+    t[[0, 2, 0]] = v
+    d[[0, 2, 0]] = v.numpy()
+    np.testing.assert_allclose(np.asarray(t.numpy()), d, atol=1e-12)
+
+    t2 = tn.rand((5, 4), ranks_tt=2, key=jax.random.key(9))
+    d2 = np.array(t2.numpy())
+    t2[[1, -1, 1]] = 3.14
+    d2[[1, -1, 1]] = 3.14
+    np.testing.assert_allclose(np.asarray(t2.numpy()), d2, atol=1e-12)

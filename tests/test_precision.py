@@ -40,15 +40,48 @@ MATRIX = [
 
 @pytest.mark.parametrize("precision,dtype,tol", MATRIX)
 def test_round_tt_gram_precision_matrix(precision, dtype, tol):
+    # Performance policies auto-select the randomized-subspace edge solver,
+    # which picks a DIFFERENT (quasi-optimal) truncation subspace than eigh —
+    # on a flat random spectrum two equally-good subspaces can be far apart,
+    # so the meaningful metric is the truncation error vs the ORIGINAL
+    # tensor: at most 10% above the optimal (eigh) error, plus the mode's
+    # contraction noise.
+    rmax = 6
+    orig = np.asarray(tt_full(_make_cores(jnp.float64)))
+    nrm = np.linalg.norm(orig)
+    oracle = np.asarray(
+        tt_full(tuple(round_tt_gram(_make_cores(jnp.float64), rmax, precision="highest")))
+    )
+    err_opt = np.linalg.norm(oracle - orig) / nrm
+    out = np.asarray(
+        tt_full(tuple(round_tt_gram(_make_cores(dtype), rmax, precision=precision)))
+    )
+    err = np.linalg.norm(out - orig) / nrm
+    assert err <= err_opt * 1.10 + tol, (
+        f"{precision}/{dtype}: err={err} vs optimal {err_opt} (tol {tol})"
+    )
+
+
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_round_tt_gram_exact_edges_under_perf_policy(precision):
+    # Forcing edge_solver='eigh' under a performance policy must still
+    # reproduce the optimal truncation SUBSPACE (only contraction noise)
     rmax = 6
     oracle = np.asarray(
         tt_full(tuple(round_tt_gram(_make_cores(jnp.float64), rmax, precision="highest")))
     )
     out = np.asarray(
-        tt_full(tuple(round_tt_gram(_make_cores(dtype), rmax, precision=precision)))
+        tt_full(
+            tuple(
+                round_tt_gram(
+                    _make_cores(jnp.float32), rmax, precision=precision, edge_solver="eigh"
+                )
+            )
+        )
     )
     rel = np.linalg.norm(out - oracle) / np.linalg.norm(oracle)
-    assert rel <= tol, f"{precision}/{dtype}: rel={rel} > {tol}"
+    tol = 1e-5 if precision == "high" else 1e-2
+    assert rel <= tol, f"{precision}: rel={rel} > {tol}"
 
 
 def test_policy_plumbing():

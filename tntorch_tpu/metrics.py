@@ -179,21 +179,30 @@ def r_squared(gt, approx):
 
 
 def sum(t, dim=None, keepdim=False, _normalize=False):
-    """Sum over all or some modes via rank-1 contractions (reference metrics.py:186-220)."""
-    if t.batch:
-        raise ValueError("Batched tensors are not supported.")
+    """Sum over all or some modes via rank-1 contractions (reference metrics.py:186-220).
+
+    Unlike the reference (which rejects batch tensors, metrics.py:18-23),
+    batch input is supported: `dim` counts modes (the leading batch axis is
+    never reduced) and a full reduction returns a per-sample (B,) array."""
     if dim is None:
         dim = np.arange(t.dim())
     if not hasattr(dim, "__len__"):
         dim = [dim]
+    dim = [d + t.dim() if d < 0 else int(d) for d in dim]
+    off = 1 if t.batch else 0
     dtype = t.cores[0].dtype
+    sizes = [t.shape[d + off] for d in dim]
     if _normalize:
-        us = [jnp.ones(t.shape[d], dtype=dtype) / t.shape[d] for d in dim]
+        us = [jnp.ones(s, dtype=dtype) / s for s in sizes]
     else:
-        us = [jnp.ones(t.shape[d], dtype=dtype) for d in dim]
+        us = [jnp.ones(s, dtype=dtype) for s in sizes]
     result = tn.ttm(t, us, dim)
     if keepdim:
         return result
+    if t.batch:
+        # Only the reduced modes are squeezed (squeezing every singleton
+        # could try to drop the batch axis itself when B == 1)
+        return tn.squeeze(result, dim=[d + off for d in dim])
     return tn.squeeze(result)
 
 
@@ -216,20 +225,37 @@ def mean(t, dim=None, marginals=None, keepdim=False):
         ]
         for d, marg in zip(dim, marginals):
             marg = asarray(marg)
-            pdfcores[d] = marg[None, :, None] / jnp.sum(marg)
-        pdf = tn.Tensor(pdfcores)
+            # (I,) shared across the batch, or (B, I) per-sample weights
+            w = marg / jnp.sum(marg, axis=-1, keepdims=True)
+            pdfcores[d] = w[..., None, :, None]
+        if t.batch:
+            B = t.shape[0]
+            pdfcores = [
+                jnp.broadcast_to(c, (B,) + c.shape[-3:]) for c in pdfcores
+            ]
+        pdf = tn.Tensor(pdfcores, batch=t.batch)
         return sum(t * pdf, dim, keepdim)
     return sum(t, dim, keepdim, _normalize=True)
 
 
 def var(t, marginals=None):
-    """Variance (reference metrics.py:247-263)."""
+    """Variance (reference metrics.py:247-263). Batch tensors return a
+    per-sample (B,) array (beyond-parity; the reference rejects batch)."""
     if marginals is not None:
         assert len(marginals) == t.dim()
         tcentered = t - mean(t, marginals=marginals)
-        pdf = tn.Tensor([asarray(m)[None, :, None] / jnp.sum(asarray(m)) for m in marginals])
+        pdfcores = []
+        for m in marginals:
+            m = asarray(m)
+            w = m / jnp.sum(m, axis=-1, keepdims=True)
+            pdfcores.append(w[..., None, :, None])
+        if t.batch:
+            B = t.shape[0]
+            pdfcores = [jnp.broadcast_to(c, (B,) + c.shape[-3:]) for c in pdfcores]
+        pdf = tn.Tensor(pdfcores, batch=t.batch)
         return dot(tcentered * pdf, tcentered)
-    return normsq(t - mean(t)) / t.numel()
+    n = t.numel() / (t.shape[0] if t.batch else 1)  # per-sample element count
+    return normsq(t - mean(t)) / n
 
 
 def std(t):

@@ -58,7 +58,20 @@ def _pick_tile(Rl, I, Rr):
     return tile
 
 
-def _gram_edge_kernel(c_ref, g_ref, out_ref):
+_PRECISIONS = {
+    "highest": None,  # filled below (jax.lax enums)
+    "high": None,
+    "default": None,
+}
+if HAVE_PALLAS:
+    _PRECISIONS = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+
+
+def _gram_edge_kernel(c_ref, g_ref, out_ref, *, mm_precision):
     """One (batch, i-tile) step: out += (C_tile @ G) . C_tile."""
     i_step = pl.program_id(1)
 
@@ -70,14 +83,14 @@ def _gram_edge_kernel(c_ref, g_ref, out_ref):
     T = jnp.dot(
         C.reshape(Rl * TI, Rr), G,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mm_precision,
     )
     # out[a, d] += sum_{i,c} T[a, i, c] C[d, i, c]
     acc = jax.lax.dot_general(
         T.reshape(Rl, TI * Rr), C.reshape(Rl, TI * Rr),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mm_precision,
     )
 
     @pl.when(i_step == 0)
@@ -89,12 +102,14 @@ def _gram_edge_kernel(c_ref, g_ref, out_ref):
         out_ref[0] += acc.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_gram_edge(C, G, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "precision"))
+def pallas_gram_edge(C, G, interpret: bool = False, precision: str = "highest"):
     """Batched fused Gram edge: (B, Rl, I, Rr), (B, Rr, Rr) -> (B, Rl, Rl).
 
     Equivalent to ``einsum('...aic,...dic->...ad', einsum('...aib,...bc->...aic',
     C, G), C)`` with f32 accumulation, without materializing T in HBM.
+    `precision` sets the MXU pass count of both in-VMEM GEMMs (the policy's
+    matmul precision; accumulation stays f32 regardless).
     """
     if not HAVE_PALLAS:
         raise RuntimeError("Pallas unavailable in this jaxlib build")
@@ -103,7 +118,7 @@ def pallas_gram_edge(C, G, interpret: bool = False):
     assert tile, "unsupported shape (check gram_edge_supported first)"
     grid = (B, I // tile)
     return pl.pallas_call(
-        _gram_edge_kernel,
+        partial(_gram_edge_kernel, mm_precision=_PRECISIONS[precision]),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Rl, tile, Rr), lambda b, i: (b, 0, i, 0),

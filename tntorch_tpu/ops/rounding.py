@@ -154,8 +154,20 @@ def _sqrt_factor(G, eps_rel=None):
     return F, Finv
 
 
+def resolve_edge_solver(edge_solver, precision) -> str:
+    """Policy-driven edge-solver choice: under the exact-first 'highest'
+    policy every truncation basis comes from an eigh; every performance
+    policy ('high'/'default'/'bf16') auto-selects the randomized subspace
+    edges — the library's fastest kernel (quasi-optimal truncation, zero
+    eigh; an R x R eigh costs ~0.5 ms inside a TPU program while the
+    replacement matmuls fuse to ~nothing, see PERF.md)."""
+    if edge_solver is not None:
+        return edge_solver
+    return "eigh" if precision == "highest" else "rand"
+
+
 def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
-                  edge_solver: str = "eigh"):
+                  edge_solver: str = None):
     """Fixed-rank TT rounding WITHOUT orthogonalization sweeps: two-sided
     Gram method (cf. Al Daas, Ballard et al., "Parallel TT rounding based on
     Gram SVD"). Every large operation is a batched matmul (MXU); the only
@@ -169,17 +181,38 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
         (``tn.set_policy``): 'highest' | 'high' | 'default' | 'bf16'
         ('bf16' casts the large matmul operands to bfloat16 with f32
         accumulation and f32 factorizations).
-    :param edge_solver: 'eigh' (exact truncation, default) or 'rand'
-        (randomized subspace iteration — no eigh at all, ~2x faster on TPU
-        where each R x R eigh costs ~0.5 ms; truncation error is
-        quasi-optimal rather than optimal).
+    :param edge_solver: 'eigh' (exact truncation) or 'rand' (randomized
+        subspace iteration — no eigh at all, ~2x faster on TPU where each
+        R x R eigh costs ~0.5 ms; truncation error is quasi-optimal rather
+        than optimal). Default (None) follows the precision policy: 'eigh'
+        under 'highest', 'rand' under every performance policy.
     """
     from tntorch_tpu.utils import resolve_precision
 
     precision = resolve_precision(precision)
+    edge_solver = resolve_edge_solver(edge_solver, precision)
     if precision == "bf16":
-        return _round_tt_gram_bf16_jit(tuple(cores), rmax)
+        return _round_tt_gram_bf16_jit(tuple(cores), rmax, edge_solver)
+    if jax.default_backend() == "tpu":
+        # Single-stream ride of the batched body (B=1): the fused Pallas
+        # right-chain edges skip the HBM round trip of the 16 MB T=C*G
+        # intermediate, which the single-stream sweep pays too
+        from tntorch_tpu.ops.pallas_gram import gram_edge_supported
+
+        if all(
+            gram_edge_supported(jax.ShapeDtypeStruct((1,) + tuple(c.shape), c.dtype))
+            for c in cores
+        ):
+            return _round_tt_gram_b1_pallas(tuple(cores), rmax, edge_solver, precision)
     return _round_tt_gram_prec_jit(tuple(cores), rmax, precision, edge_solver)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _round_tt_gram_b1_pallas(cores, rmax, edge_solver, precision):
+    out = round_tt_gram_batched(
+        tuple(c[None] for c in cores), rmax, edge_solver, True, precision
+    )
+    return [c[0] for c in out]
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -188,8 +221,8 @@ def _round_tt_gram_prec_jit(cores, rmax, precision, edge_solver="eigh"):
         return _round_tt_gram_body(cores, rmax, edge_solver=edge_solver)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _round_tt_gram_bf16_jit(cores, rmax):
+@partial(jax.jit, static_argnums=(1, 2))
+def _round_tt_gram_bf16_jit(cores, rmax, edge_solver="eigh"):
     """bf16-in / f32-accumulate variant: every large contraction consumes
     bfloat16-rounded operands (native MXU input type, half the HBM traffic
     for the stored cores) with float32 accumulation; interface
@@ -214,18 +247,23 @@ def _round_tt_gram_bf16_jit(cores, rmax):
         T = mm("aib,bc->aic", C, G[k]).astype(bf)
         G[k - 1] = mm("aic,dic->ad", T, C)
 
-    L = jnp.ones((1, 1), dtype=f32)
     for k in range(1, N):
         C = cores[k - 1]
-        CL = mm("ac,aib->cib", L, C).astype(bf)
-        Lk = mm("cib,cid->bd", CL, C)
+        # Left-prefix Gram: the prefix interface is exactly orthonormal
+        # after each edge's projection (U^T F^-1 Lk F^-T U = I), so the
+        # L-weighting other formulations carry is the identity — Lk is a
+        # plain Gram of the right unfolding, one contiguous SYRK GEMM
+        Lk = mm("aib,aid->bd", C, C)
         # bf16 contraction noise floors the spectrum around 1e-3 relative
         F, Finv = _sqrt_factor(Lk, eps_rel=1e-3)
         A = F.T @ G[k] @ F
-        _, V = jnp.linalg.eigh(A)
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
-        U = V[:, ::-1][:, :r]
+        if edge_solver == "rand" and r < A.shape[0]:
+            U = _subspace_topr(A, r)
+        else:
+            _, V = jnp.linalg.eigh(A)
+            U = V[:, ::-1][:, :r]
         X = Finv @ U
         Y = U.T @ F.T
         cores[k - 1] = mm("aib,bc->aic", C, X).astype(bf)
@@ -235,7 +273,6 @@ def _round_tt_gram_bf16_jit(cores, rmax):
             .reshape(r, nxt.shape[1], nxt.shape[2])
             .astype(bf)
         )
-        L = jnp.eye(r, dtype=f32)
     return [c.astype(in_dtype) for c in cores]
 
 
@@ -257,14 +294,24 @@ def _cholqr(Y):
     )
 
 
-def _subspace_topr(A, r, q=2):
+def _subspace_topr(A, r, q=2, key=None):
     """Orthonormal basis of ~the top-r eigenspace of the PSD matrix A via
     randomized subspace iteration (Halko-Martinsson-Tropp; cf. Al Daas,
     Ballard, Kolda et al., randomized TT rounding): q power iterations with
     CholeskyQR re-orthogonalization — all MXU matmuls, no eigh. A is already
     a Gram matrix (eigenvalues = sigma^2), so each iteration sharpens the
-    spectral contrast by sigma^4."""
-    Om = jax.random.normal(jax.random.key(7), (A.shape[-1], r), dtype=A.dtype)
+    spectral contrast by sigma^4.
+
+    The default sketch key is folded over (n, r) rather than hard-coded, so
+    distinct problem shapes draw distinct Gaussian sketches; callers that
+    need a fresh sketch (e.g. to rule out an input near-orthogonal to the
+    default one) pass `key` (route it from tn.utils.next_key). The default
+    stays data-independent so the natively-batched and vmapped rounding
+    bodies remain bit-identical (tests/test_kernels.py)."""
+    if key is None:
+        key = jax.random.fold_in(jax.random.key(7), A.shape[-1])
+        key = jax.random.fold_in(key, r)
+    Om = jax.random.normal(key, (A.shape[-1], r), dtype=A.dtype)
     Y = A @ Om
     for _ in range(q):
         Y = A @ _cholqr(Y)
@@ -285,11 +332,13 @@ def _round_tt_gram_body(cores, rmax, edge_solver="eigh"):
         G[k - 1] = jnp.einsum("aic,dic->ad", T, C)
 
     # Left sweep: truncate each interior edge via small symmetric eigenproblems
-    L = jnp.ones((1, 1), dtype=dtype)
     for k in range(1, N):
         C = cores[k - 1]
-        # Left Gram of the prefix ending at edge k
-        Lk = jnp.einsum("aib,ac,cid->bd", C, L, C)
+        # Left Gram of the prefix ending at edge k. The prefix interface is
+        # exactly orthonormal after each edge's projection
+        # (U^T F^-1 Lk F^-T U = I), so no L-weighting is needed: a plain
+        # Gram of the right unfolding — one contiguous SYRK-shaped GEMM
+        Lk = jnp.einsum("aib,aid->bd", C, C)
         # Square-root factor via trace-scaled-jitter Cholesky (the jitter is
         # sized to survive the exactly-singular Grams rank-deficient input
         # produces, in both f32 and f64 — see _sqrt_factor)
@@ -314,8 +363,6 @@ def _round_tt_gram_body(cores, rmax, edge_solver="eigh"):
         cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
         nxt = cores[k]
         cores[k] = (Y @ nxt.reshape(nxt.shape[0], -1)).reshape(r, nxt.shape[1], nxt.shape[2])
-        # New left interface P~ U_r is orthonormal
-        L = jnp.eye(r, dtype=dtype)
     return cores
 
 
@@ -676,9 +723,7 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
     Matches jax.vmap(_round_tt_gram_body) numerically (same math; the
     Pallas edges reorder the i-accumulation, so agreement is to roundoff).
     """
-    from tntorch_tpu.ops.pallas_gram import (
-        gram_edge_supported, pallas_gram_edge, pallas_left_gram_edge,
-    )
+    from tntorch_tpu.ops.pallas_gram import gram_edge_supported, pallas_gram_edge
 
     with jax.default_matmul_precision(precision):
         cores = list(cores)
@@ -691,18 +736,19 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
         for k in range(N, 1, -1):
             C = cores[k - 1]
             if use_pallas and gram_edge_supported(C):
-                G[k - 1] = pallas_gram_edge(C, G[k])
+                G[k - 1] = pallas_gram_edge(C, G[k], precision=precision)
             else:
                 T = jnp.einsum("zaib,zbc->zaic", C, G[k])
                 G[k - 1] = jnp.einsum("zaic,zdic->zad", T, C)
 
-        L = jnp.ones((B, 1, 1), dtype=dtype)
         for k in range(1, N):
             C = cores[k - 1]
-            if use_pallas and gram_edge_supported(C):
-                Lk = pallas_left_gram_edge(C, L)
-            else:
-                Lk = jnp.einsum("zaib,zac,zcid->zbd", C, L, C)
+            # Left-prefix Gram: the prefix interface is exactly orthonormal
+            # after each edge's projection (U^T F^-1 Lk F^-T U = I), so the
+            # L-weighting is the identity — a plain right-unfolding Gram,
+            # one contiguous batched SYRK GEMM with no intermediate (the
+            # fused left-edge Pallas kernel became unnecessary with this)
+            Lk = jnp.einsum("zaib,zaid->zbd", C, C)
             F, Finv = _sqrt_factor(Lk)
             A = jnp.swapaxes(F, -1, -2) @ G[k] @ F
             rk = rmax if isinstance(rmax, int) else rmax[k - 1]
@@ -719,5 +765,4 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
             cores[k] = jnp.einsum(
                 "zrb,zbj->zrj", Y, nxt.reshape(B, nxt.shape[1], -1)
             ).reshape(B, r, nxt.shape[2], nxt.shape[3])
-            L = jnp.broadcast_to(jnp.eye(r, dtype=dtype), (B, r, r))
         return tuple(cores)

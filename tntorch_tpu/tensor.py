@@ -78,7 +78,16 @@ def _broadcast(a: "Tensor", b: "Tensor"):
     For batch tensors, `shape` carries the leading batch size but `repeat`
     takes PER-MODE counts — the reference fed the full shape in, shifting
     every count by one; here the batch dim is excluded (batch sizes must
-    already agree)."""
+    already agree).
+
+    Unlike the reference (which silently rounds non-divisible shape ratios,
+    e.g. (2,) vs (3,) -> repeat 2 -> shape 4, surfacing later as an opaque
+    core mismatch), non-integer-multiple mode sizes raise here."""
+    if a.batch != b.batch:
+        raise ValueError(
+            "Cannot operate a batch tensor with a non-batch tensor; "
+            "stack the non-batch operand into a batch (or index the batch one) first"
+        )
     if tuple(a.shape) == tuple(b.shape):
         return a, b
     if a.dim() != b.dim():
@@ -91,9 +100,17 @@ def _broadcast(a: "Tensor", b: "Tensor"):
             "Cannot broadcast batch sizes {} and {}".format(a.shape[0], b.shape[0])
         )
     sa, sb = a.shape[off:], b.shape[off:]
-    r1 = a.repeat(*[int(round(max(s2 / s1, 1))) for s1, s2 in zip(sa, sb)])
-    r2 = b.repeat(*[int(round(max(s1 / s2, 1))) for s1, s2 in zip(sa, sb)])
-    return r1, r2
+    ra, rb = [], []
+    for n, (s1, s2) in enumerate(zip(sa, sb)):
+        lo, hi = min(s1, s2), max(s1, s2)
+        if hi % lo != 0:
+            raise ValueError(
+                "Cannot broadcast mode {}: sizes {} and {} are not integer "
+                "multiples".format(n, s1, s2)
+            )
+        ra.append(s2 // s1 if s2 > s1 else 1)
+        rb.append(s1 // s2 if s1 > s2 else 1)
+    return a.repeat(*ra), b.repeat(*rb)
 
 
 from functools import partial as _partial
@@ -388,7 +405,7 @@ class Tensor:
         return core.ndim == self._m + 1
 
     def __add__(self, other):
-        if not isinstance(other, Tensor):  # scalar
+        if not isinstance(other, Tensor):  # scalar (or per-sample scalars for batch)
             factor = other
             dtype = self.cores[0].dtype
             if self.batch:
@@ -396,6 +413,9 @@ class Tensor:
                     jnp.ones((self.shape[0], 1, self.shape[n + 1], 1), dtype=dtype)
                     for n in range(self.dim())
                 ]
+                f = jnp.asarray(factor)
+                if f.ndim == 1:  # one scalar per batch sample, shape (B,)
+                    factor = f.reshape(-1, 1, 1, 1)
             else:
                 cores = [
                     jnp.ones((1, self.shape[n], 1), dtype=dtype)
@@ -405,7 +425,10 @@ class Tensor:
             other = Tensor(cores, batch=self.batch)
 
         if self.batch != other.batch:
-            raise ValueError("Tensors with the same batch mode are supported")
+            raise ValueError(
+                "Cannot operate a batch tensor with a non-batch tensor; "
+                "stack the non-batch operand into a batch (or index the batch one) first"
+            )
         if self.batch and self.shape[0] != other.shape[0]:
             raise ValueError(
                 f"Batch dim must match, got {self.shape[0]} and {other.shape[0]}"
@@ -490,6 +513,19 @@ class Tensor:
     def __mul__(self, other):
         if not isinstance(other, Tensor):  # scalar: spread |c|^(1/N), sign on core 0
             result = self.clone()
+            if self.batch and getattr(jnp.asarray(other), "ndim", 0) == 1:
+                # One scalar per batch sample, shape (B,): broadcast over
+                # each core's trailing axes (cores may be 4D TT or 3D CP)
+                arr = jnp.asarray(other)
+                factor = jnp.abs(arr) ** (1.0 / self.dim())
+                sign = jnp.sign(arr)
+                result.cores = [
+                    c * factor.reshape((-1,) + (1,) * (c.ndim - 1)).astype(c.dtype)
+                    for c in result.cores
+                ]
+                c0 = result.cores[0]
+                result.cores[0] = c0 * sign.reshape((-1,) + (1,) * (c0.ndim - 1)).astype(c0.dtype)
+                return result
             factor = np.abs(other) ** (1.0 / self.dim())
             result.cores = [c * factor for c in result.cores]
             result.cores[0] = result.cores[0] * np.sign(other)
@@ -992,6 +1028,36 @@ class Tensor:
         key_length = len(key) - (1 if self.batch else 0)
         dtype = self.cores[0].dtype
 
+        # Duplicate entries in a fancy index must resolve to LAST-write
+        # (numpy/torch assignment semantics). JAX documents the order of
+        # duplicate-index .at[].set as unspecified, so deduplicate on the
+        # host keeping each index's last occurrence (and select the matching
+        # rows of `value`) before any scatter.
+        for i in range(key_length):
+            ki = i + 1 if self.batch else i
+            kk = key[ki]
+            if isinstance(kk, slice) or not hasattr(kk, "__len__"):
+                continue
+            arr = np.asarray(kk)
+            if arr.ndim != 1 or arr.dtype == bool:
+                continue
+            mode_size = int(self.shape[i + 1] if self.batch else self.shape[i])
+            arr = np.where(arr < 0, arr + mode_size, arr).astype(np.int64)
+            if len(np.unique(arr)) != len(arr):
+                last = {int(v): p for p, v in enumerate(arr)}
+                keep = np.sort(np.asarray(sorted(last.values()), dtype=np.int64))
+                voff = 1 if (isinstance(value, Tensor) and value.batch) else 0
+                if not scalar and isinstance(value, Tensor) and i < value.dim() and int(
+                    value.shape[i + voff]
+                ) == len(arr):
+                    sel: list = [slice(None)] * (value.dim() + voff)
+                    sel[i + voff] = keep.tolist()
+                    value = value[tuple(sel)]
+                    arr = arr[keep]
+                elif scalar:
+                    arr = arr[keep]
+            key[ki] = arr
+
         if self.batch and not isinstance(key[0], slice) and not hasattr(key[0], "__len__"):
             # Integer batch index: keep the batch axis as a length-1 slice
             # (dropping it would misalign every scatter below — the
@@ -1406,16 +1472,20 @@ class Tensor:
                 t2 = self.decompress_tucker_factors()
                 self.cores = t2.cores
                 self.Us = t2.Us
-            from tntorch_tpu.ops.rounding import round_tt_gram
+            from tntorch_tpu.ops.rounding import resolve_edge_solver, round_tt_gram
+            from tntorch_tpu.utils import resolve_precision
 
-            solver = "rand" if algorithm == "randgram" else "eigh"
+            # algorithm='gram' follows the precision policy (exact eigh
+            # edges under 'highest', randomized subspace edges under the
+            # performance policies); 'randgram' forces the randomized edges
+            precision = resolve_precision(None)
+            solver = resolve_edge_solver(
+                "rand" if algorithm == "randgram" else None, precision
+            )
             self._cp_to_tt()
             rt = tuple(int(r) for r in rmax)
             with tn.utils.trace_annotation("tn.round_tt:gram_kernel"):
                 if self.batch:
-                    from tntorch_tpu.utils import resolve_precision
-
-                    precision = resolve_precision(None)
                     if precision == "bf16":
                         # The bf16-in/f32-acc kernel only exists per-sample
                         from tntorch_tpu.ops.rounding import round_tt_gram as _g
@@ -1424,13 +1494,11 @@ class Tensor:
                             *self.cores
                         )
                     else:
-                        # Natively-batched body; fused Pallas Gram edges on
-                        # TPU at 'highest' precision when shapes allow
+                        # Natively-batched body; fused Pallas Gram-chain
+                        # edges on TPU when shapes allow
                         from tntorch_tpu.ops.rounding import round_tt_gram_batched
 
-                        use_pallas = (
-                            jax.default_backend() == "tpu" and precision == "highest"
-                        )
+                        use_pallas = jax.default_backend() == "tpu"
                         out = round_tt_gram_batched(
                             tuple(self.cores), rt, solver, use_pallas, precision
                         )

@@ -210,9 +210,12 @@ def ttm(t, U, dim=None, transpose: bool = False):
             factor = U[dim.index(n)]
             if transpose:
                 factor = jnp.swapaxes(factor, -1, -2)
-            if factor.ndim == 1 and not t.batch:
+            if factor.ndim == 1:
+                # A plain vector: lift to a 1-row matrix; in batch layout it
+                # broadcasts over the leading batch axis of the cores
                 factor = factor[None, ...]
-            if factor.ndim == 2 and t.batch:
+            elif factor.ndim == 2 and t.batch:
+                # (B, I): one weight vector per sample
                 factor = factor[:, None, ...]
             if t.Us[n] is None:
                 if t.cores[n].ndim == (4 if t.batch else 3):
