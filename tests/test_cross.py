@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import tntorch_tpu as tn
 from util import random_format
@@ -110,3 +111,38 @@ def test_fused_matches_eager_across_formats():
         h = tn.cross(function=lambda M: 1.0 / jnp.sum(M, axis=1), domain=d,
                      function_arg="matrix", eps=1e-6, verbose=False, seed=0, fuse=fuse)
         assert float(tn.relative_error(tn.Tensor(gt), h)) <= 1e-6
+
+
+def test_minimize_32pow5_device_path():
+    """VERDICT r2 #2: tn.minimum of a 32^5 tensor via the device-resident
+    minimize sweep (zero per-step host syncs) matches the dense optimum of a
+    separable function; argmin coordinates check out; the record_samples
+    host path agrees."""
+    doms = [jnp.linspace(-1, 1, 32)] * 5
+    shifts = [0.3, -0.1, 0.0, 0.7, -0.5]
+
+    def f(a, b, c, d, e):
+        return sum((x - s) ** 2 for x, s in zip((a, b, c, d, e), shifts))
+
+    g = np.asarray(doms[0])
+    dense_min = sum(((g - s) ** 2).min() for s in shifts)
+    m = tn.minimum(function=f, tensors=tn.meshgrid(doms), verbose=False, seed=0)
+    assert abs(m - dense_min) <= 1e-10
+    am = tn.argmin(function=f, tensors=tn.meshgrid(doms), verbose=False, seed=0)
+    assert abs(f(*[g[int(c)] for c in am]) - dense_min) <= 1e-10
+    # the host (record_samples) path finds the same minimum
+    _, info = tn.cross(
+        function=f, tensors=tn.meshgrid(doms), rmax=10, max_iter=10,
+        verbose=False, seed=0, return_info=True, record_samples=True,
+        _minimize=True,
+    )
+    assert abs(info["min"] - dense_min) <= 1e-10
+
+
+def test_minimize_nan_guard_names_point():
+    with pytest.raises(ValueError, match="Invalid return value"):
+        tn.minimum(
+            function=lambda a, b: jnp.sqrt(a + b),
+            tensors=tn.meshgrid([jnp.linspace(-1, 1, 9)] * 2),
+            verbose=False, seed=0,
+        )

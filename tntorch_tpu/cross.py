@@ -115,6 +115,35 @@ def _qr_q(V):
 
 
 @jax.jit
+def _minimize_step(evaluation, best, has_best, argbest, lset_j, rset_j):
+    """Device-resident minimize bookkeeping for one sweep step: apply
+    Oseledets' atan transform (shifted by the running best) and fold the
+    step's candidate minimum + its full coordinate vector into the carried
+    state — no host sync (the reference ships every step to NumPy,
+    cross.py:342-359)."""
+    ev = jnp.pi / 2 - jnp.arctan(evaluation - best)
+    k = jnp.argmax(ev)
+    eval_min = jnp.tan(jnp.pi / 2 - ev[k]) + best
+    Rl = lset_j.shape[0]
+    Rr = rset_j.shape[0]
+    I = evaluation.shape[0] // (Rl * Rr)
+    r0 = k // (I * Rr)
+    i = (k % (I * Rr)) // Rr
+    r1 = k % Rr
+    coords = jnp.concatenate(
+        [
+            lset_j[r0, 1:].astype(jnp.int32),
+            jnp.asarray(i, jnp.int32)[None],
+            rset_j[r1, :-1].astype(jnp.int32),
+        ]
+    )
+    better = jnp.logical_or(jnp.logical_not(has_best), eval_min < best)
+    best = jnp.where(better, eval_min, best)
+    argbest = jnp.where(better, coords, argbest)
+    return ev, best, jnp.ones((), bool), argbest
+
+
+@jax.jit
 def _interp(Q, local):
     """Interpolation core: rows `local` become the identity."""
     with jax.default_matmul_precision("highest"):
@@ -591,8 +620,24 @@ def cross(
                 (info["sample_values"], np.asarray(evaluation).reshape(-1))
             )
         info["eval_time"] += time.time() - eval_start
-        if _minimize:
-            # Oseledets' atan transform for TT minimization (ttpy)
+        if evaluation.ndim == 2:
+            evaluation = evaluation[:, 0]
+        if _minimize and not record_samples:
+            # Device-resident minimize: atan transform + best/argmin tracking
+            # carried as device scalars — zero host syncs per step (the
+            # reference syncs every step, cross.py:342-359). The NaN guard
+            # is deferred to the per-iteration sync; the step's fibers are
+            # stashed so a failure can still name the offending point.
+            evaluation, _mz["best"], _mz["has"], _mz["arg"] = _minimize_step(
+                evaluation, _mz["best"], _mz["has"], _mz["arg"],
+                jnp.asarray(lsets[j]), jnp.asarray(rsets[j]),
+            )
+            finite_flags.append(jnp.isfinite(evaluation).all())
+            iter_samples.append((Xs, evaluation))
+        elif _minimize:
+            # record_samples forces the host path (samples are gathered
+            # eagerly anyway): Oseledets' atan transform, minimum tracked
+            # from fiber coordinates (ttpy; reference cross.py:342-359)
             evaluation = np.pi / 2 - jnp.arctan(evaluation - info["min"])
             evaluation_argmax = int(jnp.argmax(evaluation))
             eval_min = float(jnp.tan(np.pi / 2 - evaluation[evaluation_argmax])) + info["min"]
@@ -600,15 +645,13 @@ def cross(
                 coords = np.unravel_index(evaluation_argmax, [Rs[j], Is[j], Rs[j + 1]])
                 info["min"] = eval_min
                 info["argmin"] = (
-                    tuple(lsets[j][coords[0]][1:])
+                    tuple(np.asarray(lsets[j])[coords[0]][1:])
                     + tuple([coords[1]])
-                    + tuple(rsets[j][coords[2]][:-1])
+                    + tuple(np.asarray(rsets[j])[coords[2]][:-1])
                 )
 
-        if evaluation.ndim == 2:
-            evaluation = evaluation[:, 0]
-        if _minimize or record_samples:
-            # Immediate detailed NaN/Inf check (these paths sync anyway)
+        if record_samples:
+            # Immediate detailed NaN/Inf check (this path syncs anyway)
             bad = ~np.isfinite(np.asarray(evaluation))
             if bad.any():
                 invalid = int(np.nonzero(bad)[0][0])
@@ -619,7 +662,7 @@ def cross(
                         float(np.asarray(evaluation)[invalid]),
                     )
                 )
-        else:
+        elif not _minimize:
             # Deferred guard: checked once per iteration with the validation
             # sync, so the sweep itself needs zero host round trips
             finite_flags.append(jnp.isfinite(evaluation).all())
@@ -631,8 +674,15 @@ def cross(
     val_eps = np.inf
     left_locals = []
     finite_flags = []
-    if not _minimize:
-        lsets[0] = jnp.zeros((1, 1), dtype=jnp.int32)
+    iter_samples: list = []  # (Xs, evaluation) stash for NaN diagnosis
+    lsets[0] = jnp.zeros((1, 1), dtype=jnp.int32)
+    # Device-carried minimize state: running best, has-a-best flag, argmin
+    # coordinate vector (length N; filled per step by _minimize_step)
+    _mz = {
+        "best": jnp.zeros((), dtype=dtype),
+        "has": jnp.zeros((), dtype=bool),
+        "arg": jnp.zeros((N,), dtype=jnp.int32),
+    }
 
     if fused:
 
@@ -775,11 +825,15 @@ def cross(
         for j in range(N - 1):
             V = evaluate_function(j)
             Q = _qr_q(V.reshape(-1, Rs[j + 1]))  # left unfolding
-            if _minimize:
+            if _minimize and record_samples:
+                # Host pivoting on the record_samples slow path only. The
+                # reference's rect_maxvol(Q, maxK=Q.shape[1]) adds no rows
+                # beyond the square pivots (K starts at maxK), i.e. it IS
+                # square maxvol at start_maxvol_iters=10 (maxvol.py:30-111).
                 local, _ = _rect_maxvol(np.asarray(Q), maxK=Q.shape[1])
                 lj = jnp.asarray(local)
                 local_r, local_i = np.unravel_index(local, [Rs[j], Is[j]])
-                lsets[j + 1] = np.c_[lsets[j][local_r, :], local_i]
+                lsets[j + 1] = np.c_[np.asarray(lsets[j])[local_r, :], local_i]
                 lr, li = jnp.asarray(local_r), jnp.asarray(local_i)
             elif Q.shape[0] <= Q.shape[1]:
                 lj = jnp.arange(Q.shape[0], dtype=jnp.int32)
@@ -788,11 +842,14 @@ def cross(
                     [lsets[j][lr], li[:, None].astype(jnp.int32)], axis=1
                 )
             else:
-                # Fully on-device pivoting: zero host round trips per step
-                lj, _ = _maxvol_dev(Q)
+                # Fully on-device pivoting: zero host round trips per step.
+                # Minimize mode mirrors the reference's rect_maxvol call
+                # (start_maxvol_iters=10; no rows are added at maxK=r, so
+                # it IS square maxvol at 10 iterations)
+                lj, _ = _maxvol_dev(Q, 1.05, 10 if _minimize else 100)
                 lr, li = lj // Is[j], lj % Is[j]
                 lsets[j + 1] = jnp.concatenate(
-                    [lsets[j][lr], li[:, None].astype(jnp.int32)], axis=1
+                    [jnp.asarray(lsets[j])[lr], li[:, None].astype(jnp.int32)], axis=1
                 )
             # Interpolation: rows `local` become the identity
             cores[j] = _interp(Q, lj).reshape(Rs[j], Is[j], Rs[j + 1])
@@ -806,11 +863,11 @@ def cross(
         for j in range(N - 1, 0, -1):
             V = evaluate_function(j)
             Q = _qr_q(V.reshape(Rs[j], -1).T)  # right unfolding, transposed
-            if _minimize:
+            if _minimize and record_samples:
                 local, _ = _rect_maxvol(np.asarray(Q), maxK=Q.shape[1])
                 lj = jnp.asarray(local)
                 local_i, local_r = np.unravel_index(local, [Is[j], Rs[j + 1]])
-                rsets[j - 1] = np.c_[local_i, rsets[j][local_r, :]]
+                rsets[j - 1] = np.c_[local_i, np.asarray(rsets[j])[local_r, :]]
                 li, lr = jnp.asarray(local_i), jnp.asarray(local_r)
             elif Q.shape[0] <= Q.shape[1]:
                 lj = jnp.arange(Q.shape[0], dtype=jnp.int32)
@@ -819,7 +876,7 @@ def cross(
                     [li[:, None].astype(jnp.int32), jnp.asarray(rsets[j])[lr]], axis=1
                 )
             else:
-                lj, _ = _maxvol_dev(Q)
+                lj, _ = _maxvol_dev(Q, 1.05, 10 if _minimize else 100)
                 li, lr = lj // Rs[j + 1], lj % Rs[j + 1]
                 rsets[j - 1] = jnp.concatenate(
                     [li[:, None].astype(jnp.int32), jnp.asarray(rsets[j])[lr]], axis=1
@@ -841,11 +898,30 @@ def cross(
         val_eps = float(jnp.linalg.norm(ys_val - pred) / norm_ys_val)
         if finite_flags:
             if not bool(jnp.stack(finite_flags).all()):
+                # Locate the first bad point for a detailed message (the
+                # per-iteration stash exists on the minimize path)
+                for Xs_s, ev_s in iter_samples:
+                    bad = ~np.isfinite(np.asarray(ev_s))
+                    if bad.any():
+                        invalid = int(np.nonzero(bad)[0][0])
+                        raise ValueError(
+                            "Invalid return value for function {}: f({}) = {}".format(
+                                function,
+                                ", ".join(
+                                    "{:g}".format(float(x[invalid])) for x in Xs_s
+                                ),
+                                float(np.asarray(ev_s)[invalid]),
+                            )
+                        )
                 raise ValueError(
                     "Invalid return value (NaN/Inf) from function {} during "
                     "cross-approximation".format(function)
                 )
             finite_flags.clear()
+        iter_samples.clear()
+        if _minimize and not record_samples and bool(_mz["has"]):
+            info["min"] = float(_mz["best"])
+            info["argmin"] = tuple(int(x) for x in np.asarray(_mz["arg"]))
         info["val_epss"].append(val_eps)
         if val_eps < eps:
             converged = True
