@@ -117,3 +117,52 @@ def test_fuzz_batch_vs_dense_oracle():
         xb = rng.standard_normal([B] + shape_b)
         tb = tn.Tensor(jnp.asarray(xb), batch=True)
         assert np.allclose((t1 + tb).numpy(), x1 + xb, atol=1e-8)
+
+
+def _one_complex_trial(trial):
+    """Complex rows (VERDICT r2 #4): the jitted rounding kernels (eps-eig,
+    eps-svd, Tucker, batch) must be exact for complex cores at f64 —
+    conjugated transposes throughout, errors measured vs the dense oracle
+    (tn.dist on near-identical tensors is cancellation-limited ~1e-8)."""
+    rng = np.random.RandomState(20_000 + trial)
+    N = rng.randint(3, 5)
+    shape = list(rng.randint(4, 8, N))
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    t = tn.Tensor(x)
+    s = t + t
+    s.round_tt(1e-10, algorithm=("svd" if trial % 2 else "eig"))
+    err = np.linalg.norm(np.asarray(s.numpy()) - 2 * x) / np.linalg.norm(x)
+    assert err <= 1e-10, err
+
+    u = t.clone()
+    u.round_tucker(1e-10, algorithm=("svd" if trial % 2 else "eig"))
+    err = np.linalg.norm(np.asarray(u.numpy()) - x) / np.linalg.norm(x)
+    assert err <= 1e-10, err
+
+    # batch kernel (fixed-rank rule), exactness at full rank
+    xb = np.stack([x, 2 * x, x - 1])
+    tb = tn.Tensor(xb, batch=True)
+    sb = tb + tb
+    sb.round_tt()
+    err = np.linalg.norm(np.asarray(sb.numpy()) - 2 * xb) / np.linalg.norm(xb)
+    assert err <= 1e-10, err
+
+
+def test_fuzz_complex_rounding_kernels():
+    for trial in range(4):
+        _one_complex_trial(trial)
+
+
+def test_complex_fast_qr_policy():
+    """CholeskyQR2 (perf-policy orthogonalization) is complex-correct."""
+    rng = np.random.RandomState(5)
+    x = rng.standard_normal((8, 8, 8)) + 1j * rng.standard_normal((8, 8, 8))
+    t = tn.Tensor(x)
+    s = t + t
+    tn.set_policy("high")
+    try:
+        s.round_tt(1e-8)
+    finally:
+        tn.set_policy("highest")
+    err = np.linalg.norm(np.asarray(s.numpy()) - 2 * x) / np.linalg.norm(x)
+    assert err <= 1e-8, err

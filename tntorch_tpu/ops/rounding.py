@@ -35,16 +35,19 @@ def cholesky_qr2(M):
     the 'highest' precision policy keeps Householder QR."""
 
     def one(M):
-        G = M.T @ M
+        G = M.conj().T @ M  # Hermitian Gram (conj is a no-op for real M)
         # Trace-scaled dtype-aware jitter: it must dominate eps(dtype) *
         # lambda_max <= eps * trace(G) or the Cholesky NaNs on exactly
         # singular Grams (e.g. rounding t+t); a /n-scaled or sub-epsilon
         # jitter rounds away in f32. ~50x above eps keeps Q's orthogonality
         # at the 1e-12 (f64) level on well-conditioned input.
-        eps_rel = 1e-14 if G.dtype == jnp.float64 else 1e-6
-        jit = eps_rel * jnp.trace(G) + jnp.asarray(jnp.finfo(M.dtype).tiny, M.dtype)
-        R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[0], dtype=M.dtype), upper=True)
-        Q = jax.scipy.linalg.solve_triangular(R, M.T, lower=False, trans=1).T
+        eps_rel = 1e-14 if jnp.finfo(M.dtype).eps < 1e-10 else 1e-6
+        jit = eps_rel * jnp.real(jnp.trace(G)) + jnp.finfo(M.dtype).tiny
+        R = jnp.linalg.cholesky(
+            G + jit.astype(G.dtype) * jnp.eye(G.shape[0], dtype=G.dtype), upper=True
+        )
+        # trans=2 solves R^H X = M^H (== the real trans=1 path for real M)
+        Q = jax.scipy.linalg.solve_triangular(R, M.conj().T, lower=False, trans=2).conj().T
         return Q, R
 
     Q1, R1 = one(M)
@@ -388,7 +391,7 @@ def _eps_eig_body(cores, eps, rmax_vec, qr=jnp.linalg.qr):
     for mu in range(N - 1, 0, -1):
         Rl, I, Rr = cores[mu].shape
         M = cores[mu].reshape(Rl, I * Rr)
-        G = M @ M.T
+        G = M @ M.conj().T  # Hermitian (conj is a no-op for real cores)
         w, V = jnp.linalg.eigh(G)  # ascending; w == sigma^2
         w = jnp.maximum(w, 0.0)
         k_discard = jnp.sum(jnp.cumsum(w) <= delta**2)
@@ -397,9 +400,9 @@ def _eps_eig_body(cores, eps, rmax_vec, qr=jnp.linalg.qr):
         U = V[:, ::-1] * mask[None, :]  # zero the discarded directions
         s = jnp.sqrt(jnp.maximum(w[::-1], jnp.finfo(dtype).tiny))  # sigma, descending
         # Keep the invariant of the RTL sweep: core_mu gets the
-        # row-orthonormal V^T (scale sigma pushed LEFT), so the next
+        # row-orthonormal U^H M / sigma (scale pushed LEFT), so the next
         # edge's Gram spectrum still measures the global error
-        cores[mu] = (((U.T @ M) / s[:, None]) * mask[:, None]).reshape(Rl, I, Rr)
+        cores[mu] = (((U.conj().T @ M) / s[:, None]) * mask[:, None]).reshape(Rl, I, Rr)
         prev = cores[mu - 1]
         cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U * s[None, :])
         effs.append(r)
@@ -487,7 +490,8 @@ def round_tt_eps(cores, eps: float, rmax=None, algorithm: str = "eig"):
     # keeps Householder QR for full rank-deficiency robustness.
     fast_qr = resolve_precision(None) != "highest"
     kernel = _round_tt_eps_svd_kernel if algorithm == "svd" else _round_tt_eps_kernel
-    padded, effs = kernel(cores, jnp.asarray(eps, cores[0].dtype), rmax_vec, fast_qr)
+    eps_dt = jnp.zeros((), cores[0].dtype).real.dtype  # real even for complex cores
+    padded, effs = kernel(cores, jnp.asarray(eps, eps_dt), rmax_vec, fast_qr)
     effs = [1] + [int(e) for e in np.asarray(effs)] + [1]  # the one sync
     return [c[: effs[k], :, : effs[k + 1]] for k, c in enumerate(padded)]
 
@@ -513,7 +517,7 @@ def round_tt_batch(cores, rmax=None, algorithm: str = "svd"):
     rmax_vec = _rmax_vec(rmax, N)
     dtype = cores[0].dtype
     padded, effs = _round_tt_batch_kernel(
-        cores, jnp.asarray(0.0, dtype), rmax_vec, algorithm
+        cores, jnp.asarray(0.0, jnp.zeros((), dtype).real.dtype), rmax_vec, algorithm
     )
     # Uniform compaction: max effective rank across the batch (per-sample
     # masked zeros beyond a smaller rank stay zero, so values are exact)
@@ -562,14 +566,14 @@ def _tucker_eps_body(cores, us, eps, dims, algorithm, rmax_tuple):
             left_ortho_f = uu  # (I, k), orthonormal columns
             proj = ss[:, None] * vvt  # (k, S'): U = uu @ proj
         else:
-            G = U.T @ U  # (S', S')
+            G = U.conj().T @ U  # (S', S'), Hermitian (conj no-op for real)
             w_asc, V = jnp.linalg.eigh(G)
             w = jnp.maximum(w_asc[::-1], 0.0)
             k = Sp
             Vd = V[:, ::-1]  # descending
             sig = jnp.sqrt(jnp.maximum(w, jnp.finfo(dtype).tiny))
             left_ortho_f = (U @ Vd) / sig[None, :]  # orthonormal
-            proj = sig[:, None] * Vd.T  # (S', S')
+            proj = sig[:, None] * Vd.conj().T  # (S', S')
         k_discard = jnp.sum(jnp.cumsum(w[::-1]) <= delta**2)
         # rmax caps IN-PROGRAM: later modes' spectra must see the
         # capped (masked) network, exactly like the eager sweep —
@@ -628,7 +632,9 @@ def round_tucker_eps_batch(cores, us, rmax=None, dims=None, algorithm: str = "sv
         rmax = [rmax] * N
     rmax_tuple = tuple(np.iinfo(np.int32).max if r is None else int(r) for r in rmax)
     out_cores, out_us, effs = _round_tucker_batch_kernel(
-        tuple(cores), tuple(us), jnp.asarray(0.0, cores[0].dtype), dims, algorithm, rmax_tuple
+        tuple(cores), tuple(us),
+        jnp.asarray(0.0, jnp.zeros((), cores[0].dtype).real.dtype),
+        dims, algorithm, rmax_tuple
     )
     effs = np.asarray(effs).max(axis=0)  # the one sync
     out_cores, out_us = list(out_cores), list(out_us)
@@ -661,7 +667,8 @@ def round_tucker_eps(cores, us, eps: float, rmax=None, dims=None, algorithm: str
     cores = tuple(cores)
     us = tuple(us)
     out_cores, out_us, effs = _round_tucker_eps_kernel(
-        cores, us, jnp.asarray(eps, cores[0].dtype), dims, algorithm, rmax_tuple
+        cores, us, jnp.asarray(eps, jnp.zeros((), cores[0].dtype).real.dtype),
+        dims, algorithm, rmax_tuple
     )
     effs = np.asarray(effs)  # the one sync
     out_cores, out_us = list(out_cores), list(out_us)

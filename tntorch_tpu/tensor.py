@@ -1309,7 +1309,6 @@ class Tensor:
             mu == self.dim() - 1
             and not self.batch
             and all(U is None for U in self.Us)
-            and not jnp.iscomplexobj(self.cores[0])
         ):
             # Pure-TT full left-orthogonalization: one jitted XLA program
             # instead of an eager QR dispatch per mode
@@ -1342,7 +1341,6 @@ class Tensor:
             and self.batch
             and all(U is None for U in self.Us)
             and all(self._is_tt(c) for c in self.cores)
-            and not jnp.iscomplexobj(self.cores[0])
         ):
             # Batch Tucker rounding: fixed rank min(rmax, full) per factor
             # (the reference's batch truncated_svd rule) — the non-batch
@@ -1364,7 +1362,6 @@ class Tensor:
             and not self.batch
             and all(U is None for U in self.Us)
             and all(self._is_tt(c) for c in self.cores)
-            and not jnp.iscomplexobj(self.cores[0])
         ):
             # Adaptive Tucker-eps fast path for pure-TT input (the common
             # flow: dense->TT->round_tucker, and round()'s combined pass):
@@ -1431,7 +1428,6 @@ class Tensor:
             algorithm in ("eig", "svd")
             and not verbose
             and all(U is None for U in self.Us)
-            and not jnp.iscomplexobj(self.cores[0])
         ):
             if self.batch:
                 # Batch rounding keeps fixed rank min(rmax, rows, cols) per
