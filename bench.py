@@ -3,8 +3,11 @@
 
 Headline metric: TT-round GFLOP/s — rounds a 4D TT with mode size 256 from
 rank 128 down to rank 64 (the canonical post-arithmetic recompression) using
-the jitted Gram kernel on the default JAX device (the TPU chip under the
-driver), vs the identical algorithm in PyTorch on all CPU cores.
+the jitted Gram kernel under the production performance policy
+(tn.set_policy('high'): randomized-subspace truncation edges, fused Pallas
+Gram-chain) on the default JAX device (the TPU chip under the driver), vs
+the reference algorithm (QR sweep + Gram-eigh) in PyTorch on all CPU cores.
+The exact-truncation 'highest' path is recorded as tt_round_exact_gflops.
 
 The "extra" dict carries the other recorded north stars:
 - tt_round_batched_gflops: the same rounding vmapped over a batch of 32
@@ -45,25 +48,34 @@ def _sync(out):
 
 
 def bench_ours(cores_np, rmax, iters=20):
+    """Headline: the library's production performance policy
+    (tn.set_policy('high')) — randomized-subspace truncation edges, 3-pass
+    f32 matmuls, fused Pallas Gram-chain edges where shapes allow. The
+    exact-eigh 'highest' path is recorded separately in the extras
+    (tt_round_exact_gflops)."""
     import jax.numpy as jnp
 
     from tntorch_tpu.ops.rounding import round_tt_gram
+    from tntorch_tpu.utils import set_policy
 
     cores = tuple(jnp.asarray(c) for c in cores_np)
-
-    out = round_tt_gram(cores, rmax)  # warm-up (compile)
-    _sync(out)
-    out = round_tt_gram(cores, rmax)  # warm-up (steady-state)
-    _sync(out)
-    # best-of-3 timing loops: the box/tunnel is contended and single-loop
-    # numbers jitter ~25%
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = round_tt_gram(cores, rmax)
+    set_policy("high")
+    try:
+        out = round_tt_gram(cores, rmax)  # warm-up (compile)
         _sync(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
+        out = round_tt_gram(cores, rmax)  # warm-up (steady-state)
+        _sync(out)
+        # best-of-3 timing loops: the box/tunnel is contended and single-loop
+        # numbers jitter ~25%
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = round_tt_gram(cores, rmax)
+            _sync(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+    finally:
+        set_policy("highest")
     return best, out
 
 
@@ -85,26 +97,47 @@ def bench_ours_prec(cores_np, rmax, precision, iters=20):
     return (time.perf_counter() - t0) / iters, out
 
 
-def bench_ours_rand(cores_np, rmax, iters=20):
-    """Single-stream randomized-subspace Gram rounding (edge_solver='rand'):
-    no eigh anywhere — quasi-optimal truncation, all MXU matmuls."""
+def bench_ours_exact(cores_np, rmax, iters=20):
+    """Accuracy-first path: 'highest' policy -> exact eigh truncation edges
+    (the reference's Gram-eig accuracy class, round.py:101-135)."""
     import jax.numpy as jnp
 
     from tntorch_tpu.ops.rounding import round_tt_gram
 
     cores = tuple(jnp.asarray(c) for c in cores_np)
-    out = round_tt_gram(cores, rmax, edge_solver="rand")
+    out = round_tt_gram(cores, rmax, edge_solver="eigh")
     _sync(out)
-    out = round_tt_gram(cores, rmax, edge_solver="rand")
+    out = round_tt_gram(cores, rmax, edge_solver="eigh")
     _sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = round_tt_gram(cores, rmax, edge_solver="rand")
+            out = round_tt_gram(cores, rmax, edge_solver="eigh")
         _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best, out
+
+
+def bench_sparse_tt_svd():
+    """Device-side sparse_tt_svd (scatter + Gram GEMM + eigh on device):
+    samples/second fitting a TT to sparse COO data."""
+    import tntorch_tpu as tn
+
+    N, I, P = 6, 32, 20000
+    rng = np.random.default_rng(3)
+    X = rng.integers(0, I, (P, N))
+    gt = [rng.standard_normal((I,)) for _ in range(N)]
+    y = np.prod(np.stack([g[X[:, n]] for n, g in enumerate(gt)]), axis=0)
+    t = tn.sparse_tt_svd(X, y, eps=1e-6, shape=[I] * N)  # warm-up
+    _sync(t.cores[0])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        t = tn.sparse_tt_svd(X, y, eps=1e-6, shape=[I] * N)
+        _sync(t.cores[0])
+        times.append(time.perf_counter() - t0)
+    return P / min(times)
 
 
 def bench_ours_batched(cores_np, rmax, B=32, iters=10, edge_solver="eigh"):
@@ -298,15 +331,15 @@ def main():
     except Exception as e:
         print(f"# batched bench failed: {e}", file=sys.stderr)
 
-    # Randomized-subspace edge solver (round_tt(algorithm='randgram')):
-    # same task at quasi-optimal (vs optimal) truncation error, no eigh
+    # Accuracy-first path ('highest' policy, exact eigh edges — the
+    # reference's Gram-eig accuracy class) + batched rand edges
     try:
-        t_rand, _ = bench_ours_rand(cores_np, rmax)
-        extra["tt_round_rand_gflops"] = round(flops / t_rand / 1e9, 1)
+        t_exact, _ = bench_ours_exact(cores_np, rmax)
+        extra["tt_round_exact_gflops"] = round(flops / t_exact / 1e9, 1)
         t_rand_b = bench_ours_batched(cores_np, rmax, edge_solver="rand")
         extra["tt_round_rand_batched_gflops"] = round(flops / t_rand_b / 1e9, 1)
     except Exception as e:
-        print(f"# rand bench failed: {e}", file=sys.stderr)
+        print(f"# exact bench failed: {e}", file=sys.stderr)
 
     # Performance-mode numbers (tn.set_policy): fast-f32 and bf16-in/f32-acc
     for key, prec in [("tt_round_f32_gflops", "default"), ("tt_round_bf16_gflops", "bf16")]:
@@ -315,6 +348,11 @@ def main():
             extra[key] = round(flops / t_prec / 1e9, 2)
         except Exception as e:
             print(f"# {prec} bench failed: {e}", file=sys.stderr)
+
+    try:
+        extra["sparse_tt_svd_samples_per_s"] = round(bench_sparse_tt_svd(), 1)
+    except Exception as e:
+        print(f"# sparse_tt_svd bench failed: {e}", file=sys.stderr)
 
     try:
         hilbert_s, evals_s = bench_cross_ours()

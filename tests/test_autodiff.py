@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import tntorch_tpu as tn
 
@@ -96,3 +97,42 @@ def test_set_factors_trainable_factors_move():
         float(np.abs(np.asarray(U) - U0).max()) > 1e-12
         for U, U0 in zip(t.Us, Us_before)
     )
+
+
+def test_traceable_loss_never_takes_eager_path(monkeypatch):
+    """VERDICT r2 #10: a jit-traceable loss must run through the compiled
+    step — the eager fallback (which re-traces value_and_grad per call)
+    must never trigger."""
+    import tntorch_tpu.autodiff as ad
+
+    def boom(*a, **k):
+        raise AssertionError("eager fallback taken for a traceable loss")
+
+    monkeypatch.setattr(ad, "_eager_step", boom)
+    t = tn.rand((6, 6, 6), ranks_tt=2, requires_grad=True, key=jax.random.key(3))
+    gt = tn.rand((6, 6, 6), ranks_tt=2, key=jax.random.key(4))
+    hist = tn.optimize(
+        t, lambda w: tn.normsq(w - gt), max_iter=5, tol=None, verbose=False
+    )
+    assert len(hist) >= 5
+
+
+def test_cross_loss_warns_then_raises_clearly():
+    """A cross-based loss (data-dependent ranks -> float() on a tracer)
+    cannot be differentiated at all: optimize announces the retrace cliff,
+    tries the eager path, and surfaces a CLEAR error (not a raw tracer
+    message). MIGRATION.md 'The optimize retrace cliff' documents the
+    workarounds."""
+    import warnings
+
+    t = tn.rand((5, 5), ranks_tt=2, requires_grad=True, key=jax.random.key(5))
+    gt = tn.rand((5, 5), ranks_tt=2, key=jax.random.key(6)) + 2.0
+
+    def loss_cross(w):
+        return tn.dist(w ** 2, gt)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        with pytest.raises(ValueError, match="traced value"):
+            tn.optimize(t, loss_cross, max_iter=3, tol=None, verbose=False)
+    assert any("EAGER" in str(w.message) for w in rec)

@@ -41,6 +41,8 @@ from tntorch_tpu.models import matrix
 from tntorch_tpu import parallel
 from tntorch_tpu.ops.pallas_tt import tt_eval
 from tntorch_tpu.ops.rounding import round_tt_fixed, round_tt_gram, tt_full, tt_dot
-from tntorch_tpu.serialization import save, load, save_orbax, load_orbax
+from tntorch_tpu.serialization import (
+    save, load, save_orbax, load_orbax, save_orbax_sharded, load_orbax_sharded,
+)
 
 __version__ = "0.1.0"

@@ -198,6 +198,18 @@ def optimize(
             # back to per-call tracing. Value concretization (float()/bool()
             # on a traced value) fails under eager grad too — surface that
             # as a clear error instead of a raw tracer message.
+            import warnings
+
+            warnings.warn(
+                "loss_function is not jit-traceable (typically because it "
+                "calls tn.cross or a cross-based op like **, tensor /, "
+                "tn.exp), so optimize() falls back to EAGER mode: "
+                "jax.value_and_grad re-traces the whole loss every "
+                "iteration, typically 10-100x slower. See MIGRATION.md "
+                "('The optimize retrace cliff') for workarounds "
+                "(re-parameterize, or precompute with detach_evaluations).",
+                stacklevel=2,
+            )
             step = lambda p, s: _eager_step(p, s, optimizer, total_loss_fn)
             try:
                 params, opt_state, total_loss, loss_parts = step(params, opt_state)

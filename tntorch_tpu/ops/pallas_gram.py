@@ -66,7 +66,10 @@ _PRECISIONS = {
 if HAVE_PALLAS:
     _PRECISIONS = {
         "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
+        # Mosaic's dot lowering accepts only HIGHEST/DEFAULT ("Unsupported
+        # dot precision: HIGH"); map 'high' to the exact passes — the fused
+        # chain is memory-bound, so the extra MXU passes are hidden
+        "high": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
     }
 

@@ -199,10 +199,12 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
     if jax.default_backend() == "tpu":
         # Single-stream ride of the batched body (B=1): the fused Pallas
         # right-chain edges skip the HBM round trip of the 16 MB T=C*G
-        # intermediate, which the single-stream sweep pays too
+        # intermediate, which the single-stream sweep pays too. Per-edge
+        # support is gated inside the batched body; route whenever at
+        # least one interior edge qualifies (boundary cores never do).
         from tntorch_tpu.ops.pallas_gram import gram_edge_supported
 
-        if all(
+        if any(
             gram_edge_supported(jax.ShapeDtypeStruct((1,) + tuple(c.shape), c.dtype))
             for c in cores
         ):

@@ -18,19 +18,59 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import tntorch_tpu as tn
 
 
-def make_mesh(shape: Optional[Sequence[int]] = None, axis_names=("dp", "tp"), devices=None) -> Mesh:
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names=("dp", "tp"),
+    devices=None,
+    dcn_shape: Optional[Sequence[int]] = None,
+) -> Mesh:
     """Build a device mesh. Default: all devices on 'dp' and 1 on 'tp'.
 
     :param shape: mesh shape, e.g. (4, 2) for 4-way data x 2-way rank
-        parallelism. Must multiply to the device count.
+        parallelism. Must multiply to the device count (per slice when
+        `dcn_shape` is given).
+    :param dcn_shape: multi-slice layout (SURVEY.md section 2: "ICI within
+        pod slice, DCN across slices"): per-axis slice counts, elementwise
+        with `shape`. Axis i then spans dcn_shape[i] slices x shape[i]
+        chips, slice-major, so collectives along an axis with
+        dcn_shape[i] > 1 cross the (slow) DCN and everything else rides
+        ICI. Put ONLY the dp axis across slices: e.g. shape=(4, 2),
+        dcn_shape=(2, 1) on 2 slices of 4 chips gives dp=8 (2 slices x 4)
+        and tp=2 inside each slice. Uses
+        mesh_utils.create_hybrid_device_mesh when the runtime exposes
+        slice topology; falls back to contiguous slice-major blocks (the
+        correct layout for the virtual CPU meshes used in tests).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
-    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
-    dev_array = np.asarray(devices).reshape(shape)
+    if dcn_shape is None:
+        assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+        dev_array = np.asarray(devices).reshape(shape)
+        return Mesh(dev_array, axis_names)
+
+    dcn_shape = tuple(int(d) for d in dcn_shape)
+    assert len(dcn_shape) == len(shape), "dcn_shape must match shape's length"
+    total = int(np.prod(shape)) * int(np.prod(dcn_shape))
+    assert total == n, f"hybrid mesh {shape} x {dcn_shape} != {n} devices"
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            tuple(shape), dcn_shape, devices=devices
+        )
+    except Exception:
+        # No slice topology (single host / virtual CPU devices): contiguous
+        # blocks stand in for slices, slice-major along each axis
+        k = len(shape)
+        arr = np.asarray(devices).reshape(dcn_shape + tuple(shape))
+        order = []
+        for j in range(k):
+            order += [j, j + k]
+        arr = arr.transpose(order)
+        dev_array = arr.reshape([d * s for d, s in zip(dcn_shape, shape)])
     return Mesh(dev_array, axis_names)
 
 
