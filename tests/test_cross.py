@@ -146,3 +146,25 @@ def test_minimize_nan_guard_names_point():
             tensors=tn.meshgrid([jnp.linspace(-1, 1, 9)] * 2),
             verbose=False, seed=0,
         )
+
+
+def test_fused_minimize_matches_unfused():
+    """Minimize admitted into the fused-chunk path (VERDICT r2 #2): one
+    dispatch per chunk, state carried across iterations; identical minima
+    and argmin to the unfused device path."""
+    doms = [jnp.linspace(-1, 1, 16)] * 4
+    shifts = [0.3, -0.1, 0.7, -0.5]
+
+    def f(a, b, c, d):
+        return sum((x - s) ** 2 for x, s in zip((a, b, c, d), shifts))
+
+    _, inf_u = tn.cross(
+        function=f, tensors=tn.meshgrid(doms), rmax=8, max_iter=8,
+        verbose=False, seed=0, return_info=True, _minimize=True, fuse=False,
+    )
+    _, inf_f = tn.cross(
+        function=f, tensors=tn.meshgrid(doms), rmax=8, max_iter=8,
+        verbose=False, seed=0, return_info=True, _minimize=True, fuse=True,
+    )
+    assert abs(inf_u["min"] - inf_f["min"]) <= 1e-12
+    assert tuple(inf_u["argmin"]) == tuple(inf_f["argmin"])

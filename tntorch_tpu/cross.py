@@ -114,13 +114,13 @@ def _qr_q(V):
     return jnp.linalg.qr(V)[0]
 
 
-@jax.jit
-def _minimize_step(evaluation, best, has_best, argbest, lset_j, rset_j):
+def _minimize_step_body(evaluation, best, has_best, argbest, lset_j, rset_j):
     """Device-resident minimize bookkeeping for one sweep step: apply
     Oseledets' atan transform (shifted by the running best) and fold the
     step's candidate minimum + its full coordinate vector into the carried
     state — no host sync (the reference ships every step to NumPy,
-    cross.py:342-359)."""
+    cross.py:342-359). Traceable body: used by the eager per-step jit below
+    AND inline inside the fused iteration program."""
     ev = jnp.pi / 2 - jnp.arctan(evaluation - best)
     k = jnp.argmax(ev)
     eval_min = jnp.tan(jnp.pi / 2 - ev[k]) + best
@@ -141,6 +141,9 @@ def _minimize_step(evaluation, best, has_best, argbest, lset_j, rset_j):
     best = jnp.where(better, eval_min, best)
     argbest = jnp.where(better, coords, argbest)
     return ev, best, jnp.ones((), bool), argbest
+
+
+_minimize_step = jax.jit(_minimize_step_body)
 
 
 @jax.jit
@@ -211,14 +214,21 @@ def _fused_rinterfaces(tensor_cores, rsets_cols):
 _fused_rinterfaces_jit = jax.jit(_fused_rinterfaces)
 
 
-def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys_val):
+def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys_val,
+                          mz=None, rsets_rows=None):
     """One full LTR+RTL cross iteration, fully traceable (caller supplies the
     matmul-precision context).
 
     :param tensor_cores: tuple (per input tensor) of tuples of cores
     :param rints_in: tuple (per input tensor) of tuples of right interfaces
         for modes 0..N-1 (mode N-1's incoming rint is the terminal ones)
-    :return: (cores, lsets, rsets, left_locals, lints, rints, val_eps, finite)
+    :param mz: minimize state (best, has_best, argbest) carried across
+        steps/iterations, or None for a plain approximation sweep. When set,
+        every evaluation goes through the atan transform with the running
+        best, and maxvol runs 10 iterations (reference rect_maxvol's
+        start_maxvol_iters).
+    :return: (cores, lsets, rsets, left_locals, lints, rints, val_eps,
+        finite, mz)
     """
     from tntorch_tpu.parallel.mesh import tt_batch_forward
 
@@ -238,16 +248,30 @@ def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys
     ]
     rints = [list(r) for r in rints_in]
     lsets = [jnp.zeros((1, 1), dtype=jnp.int32)] + [None] * (N - 1)
-    rsets = [None] * (N - 1) + [jnp.zeros((1, 1), dtype=jnp.int32)]
+    if rsets_rows is not None:
+        # Minimize needs the INCOMING right index rows (the LTR transform
+        # reads rsets[j] before this iteration's RTL rebuilds it)
+        rsets = list(rsets_rows)[: N - 1] + [jnp.zeros((1, 1), dtype=jnp.int32)]
+    else:
+        rsets = [None] * (N - 1) + [jnp.zeros((1, 1), dtype=jnp.int32)]
     cores = [None] * N
     left_locals = []
     finite = jnp.asarray(True)
 
+    mv_iters = 10 if mz is not None else 100
+
     def evaluate(j):
+        nonlocal mz
         Xs = [_fibers_body(lints[k][j], tensor_cores[k][j], rints[k][j]) for k in range(K)]
         ev = f(*Xs)
         if ev.ndim == 2:
             ev = ev[:, 0]
+        if mz is not None:
+            best, has, argbest = mz
+            ev, best, has, argbest = _minimize_step_body(
+                ev, best, has, argbest, lsets[j], rsets[j]
+            )
+            mz = (best, has, argbest)
         return ev.reshape(Rs[j], Is[j], Rs[j + 1]), jnp.isfinite(ev).all()
 
     # Left-to-right
@@ -258,7 +282,7 @@ def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys
         if Q.shape[0] <= Q.shape[1]:
             lj = jnp.arange(Q.shape[0], dtype=jnp.int32)
         else:
-            lj, _ = _maxvol_device_impl(Q, 1.05, 100)
+            lj, _ = _maxvol_device_impl(Q, 1.05, mv_iters)
         lr, li = lj // Is[j], lj % Is[j]
         cores[j] = jnp.linalg.solve(Q[lj, :].T, Q.T).T.reshape(Rs[j], Is[j], Rs[j + 1])
         left_locals.append(lj)
@@ -302,7 +326,7 @@ def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys
     return (
         tuple(cores), tuple(lsets), tuple(rsets), tuple(left_locals),
         tuple(tuple(l) for l in lints), tuple(tuple(r) for r in rints),
-        val_eps, finite,
+        val_eps, finite, mz,
     )
 
 
@@ -327,7 +351,7 @@ def _eval_points_body(tensor_cores, X):
 _eval_points_jit = jax.jit(_eval_points_body)
 
 
-def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat):
+def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat, mz0=None):
     """Run len(extras)+1 cross iterations as ONE traced program, growing the
     ranks on-device between them (speculative execution: the convergence
     check happens on the host only once per chunk, so the tunnel round-trip
@@ -363,21 +387,41 @@ def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat):
         else:
             rints = rints_in
         terminals = tuple(rints[k][-1] for k in range(K))
+        minimize = mz0 is not None
+        mz = mz0
+        if minimize:
+            # Incoming right index rows for the first iteration's transform:
+            # rows = staged columns + the terminal zero column
+            assert rcols is not None, "fused minimize always stages rcols"
+            rsets_rows = tuple(
+                jnp.concatenate(
+                    [rcols[n], jnp.zeros((rcols[n].shape[0], 1), jnp.int32)], axis=1
+                )
+                for n in range(N - 1)
+            )
+        else:
+            rsets_rows = None
         outs = []
         epss = []
         finites = []
+        mz_hist = []
         for s in range(len(extras) + 1):
             (cores, lsets, rsets, ll, _lints, rints_out, val_eps,
-             finite) = _fused_iteration_body(
-                f, tensor_cores, rints, Xs_val_mat, ys_val, norm_ys_val
+             finite, mz) = _fused_iteration_body(
+                f, tensor_cores, rints, Xs_val_mat, ys_val, norm_ys_val,
+                mz=mz, rsets_rows=rsets_rows,
             )
             outs.append((cores, lsets, rsets, ll))
             epss.append(val_eps.astype(jnp.float32))
             finites.append(finite)
+            if minimize:
+                mz_hist.append(mz)
             if s == len(extras):
                 rints = rints_out
             elif all(e.shape[0] == 0 for e in extras[s]):
                 rints = rints_out  # no growth: carry interfaces directly
+                if minimize:
+                    rsets_rows = tuple(rsets[: N - 1])
             else:
                 new_rsets = list(rsets)
                 for n in range(N - 1):
@@ -388,6 +432,8 @@ def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat):
                 grow_cols = tuple(new_rsets[n][:, : N - 1 - n] for n in range(N - 1))
                 base = _fused_rinterfaces(tensor_cores, grow_cols)
                 rints = tuple(base[k] + (terminals[k],) for k in range(K))
+                if minimize:
+                    rsets_rows = tuple(new_rsets[: N - 1])
         stats = jnp.concatenate(
             [jnp.stack(epss), jnp.stack(finites).astype(jnp.float32)]
         )
@@ -395,7 +441,15 @@ def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat):
             [jnp.pad(r, ((0, 0), (0, N - r.shape[1]))) for r in outs[-1][2][:-1]],
             axis=0,
         )
-        return tuple(outs), stats, packed_rsets, rints
+        if minimize:
+            mz_stack = (
+                jnp.stack([m[0] for m in mz_hist]),
+                jnp.stack([m[1] for m in mz_hist]),
+                jnp.stack([m[2] for m in mz_hist]),
+            )
+        else:
+            mz_stack = None
+        return tuple(outs), stats, packed_rsets, rints, mz_stack
 
 
 def _get_fused_chunk(f, cache_key=None):
@@ -537,12 +591,12 @@ def cross(
     dtype = tensors[0].cores[0].dtype
     if fuse is None or fuse == "auto":
         fused = (
-            not _minimize and not record_samples and mesh is None
+            not record_samples and mesh is None
             and jax.default_backend() != "cpu"
             and _f_is_traceable(f, K, dtype)
         )
     else:
-        fused = bool(fuse) and not _minimize and not record_samples and mesh is None
+        fused = bool(fuse) and not record_samples and mesh is None
         if fused and not _f_is_traceable(f, K, dtype):
             fused = False
 
@@ -708,6 +762,11 @@ def cross(
 
         rints_dev = None
         rcols_dev = _host_rcols()
+        # Minimize state carried ACROSS chunks (best, has_best, argbest);
+        # None disables the transform inside the chunk program
+        mz_state = (
+            (_mz["best"], _mz["has"], _mz["arg"]) if _minimize else None
+        )
         i = 0
         while i < max_iter and not converged:
             # Speculative chunk: run S iterations (with on-device kickrank
@@ -739,8 +798,9 @@ def cross(
                 schedule = [Rs] * S
             it_start = time.time()
             with tn.utils.trace_annotation("tn.cross:fused_chunk"):
-                outs, stats_dev, packed_rsets, rints_next = _fused_chunk_jit(
-                    tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat
+                outs, stats_dev, packed_rsets, rints_next, mz_stack = _fused_chunk_jit(
+                    tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat,
+                    mz_state,
                 )
             # ONE host round trip per chunk (each fetched array costs a full
             # tunnel round trip, so eps + finite flags ride ONE packed array;
@@ -787,6 +847,15 @@ def cross(
             rsets = list(outs[sel][2])
             left_locals = list(outs[sel][3])
             Rs = schedule[sel]
+            if _minimize and mz_stack is not None:
+                # State AT the selected iteration (cumulative, so it equals
+                # the eager path's state after i+sel+1 iterations)
+                if bool(mz_stack[1][sel]):
+                    info["min"] = float(mz_stack[0][sel])
+                    info["argmin"] = tuple(
+                        int(x) for x in np.asarray(mz_stack[2][sel])
+                    )
+                mz_state = (mz_stack[0][sel], mz_stack[1][sel], mz_stack[2][sel])
             i += sel + 1
             if converged or i >= max_iter:
                 break
@@ -808,6 +877,11 @@ def cross(
                             [rsets[n], extra[: newRs[n + 1] - Rs[n + 1], n:]]
                         )
                 Rs = newRs
+                rints_dev = None
+                rcols_dev = _host_rcols()
+            elif _minimize:
+                # Minimize always stages index columns: the chunk rebuilds
+                # the incoming rset ROWS from them for the atan transform
                 rints_dev = None
                 rcols_dev = _host_rcols()
             else:
