@@ -113,3 +113,47 @@ def test_duplicate_fancy_index_assignment_last_write():
     t2[[1, -1, 1]] = 3.14
     d2[[1, -1, 1]] = 3.14
     np.testing.assert_allclose(np.asarray(t2.numpy()), d2, atol=1e-12)
+
+
+def test_batch_anova_sobol_vs_loop():
+    """VERDICT r2 #5 (second half): anova_decomposition / sobol /
+    mean_dimension / dimension_distribution / truncate_anova lifted to
+    batch; per-sample values match the non-batch path exactly."""
+    rng = np.random.RandomState(41)
+    B, shape = 3, (6, 6, 6)
+    xb = rng.standard_normal((B,) + shape)
+    tb = tn.Tensor(jnp.asarray(xb), batch=True)
+    syms = tn.symbols(3)
+
+    a = tn.anova_decomposition(tb)
+    u = tn.undo_anova_decomposition(a)
+    np.testing.assert_allclose(np.asarray(u.numpy()), xb, atol=1e-10)
+
+    sb = np.asarray(tn.sobol(tb, tn.only(syms[0])))
+    md = np.asarray(tn.mean_dimension(tb))
+    dd = np.asarray(tn.dimension_distribution(tb))
+    tr = tn.truncate_anova(tb, tn.only(syms[0] | syms[1]), keepdim=True)
+    margs = [rng.rand(6) + 0.1 for _ in range(3)]
+    sm = np.asarray(tn.sobol(tb, tn.only(syms[0]), marginals=margs))
+    for b in range(B):
+        t1 = tn.Tensor(jnp.asarray(xb[b]))
+        assert abs(sb[b] - float(tn.sobol(t1, tn.only(syms[0])))) < 1e-10
+        assert abs(md[b] - float(tn.mean_dimension(t1))) < 1e-10
+        assert np.abs(dd[b] - np.asarray(tn.dimension_distribution(t1))).max() < 1e-10
+        assert abs(sm[b] - float(tn.sobol(t1, tn.only(syms[0]), marginals=margs))) < 1e-10
+        tr1 = tn.truncate_anova(t1, tn.only(syms[0] | syms[1]), keepdim=True)
+        assert np.linalg.norm(np.asarray(tr.numpy()[b]) - np.asarray(tr1.numpy())) < 1e-10
+
+
+def test_batch_partial_k_dot():
+    """Batch partial-k dot folds Lprod into batched trailing cores."""
+    rng = np.random.RandomState(42)
+    B = 3
+    x1 = rng.standard_normal((B, 4, 5, 6))
+    x2 = rng.standard_normal((B, 4, 5))
+    t1 = tn.Tensor(jnp.asarray(x1), batch=True)
+    t2 = tn.Tensor(jnp.asarray(x2), batch=True)
+    out = tn.dot(t1, t2, k=2)
+    assert out.batch
+    want = np.einsum("bijk,bij->bk", x1, x2)
+    np.testing.assert_allclose(np.asarray(out.numpy()), want, atol=1e-10)

@@ -16,27 +16,35 @@ from tntorch_tpu.utils import asarray
 
 def anova_decomposition(t, marginals=None):
     """Expanded tensor containing all ANOVA terms: each mode's factor becomes
-    [E; U - E] (reference anova.py:9-43)."""
-    if t.batch:
-        raise ValueError("Batched tensors are not supported.")
+    [E; U - E] (reference anova.py:9-43). Batch tensors are supported
+    (beyond-parity; the reference rejects them, anova.py:20-21): the
+    expansion applies per sample over the leading batch axis."""
     dtype = t.cores[0].dtype
+    off = 1 if t.batch else 0
+    shapes = list(t.shape[off:])
     if marginals is None:
         marginals = [None] * t.dim()
     marginals = [
-        jnp.ones(t.shape[n], dtype=dtype) / float(t.shape[n]) if m is None else asarray(m)
+        jnp.ones(shapes[n], dtype=dtype) / float(shapes[n]) if m is None else asarray(m)
         for n, m in enumerate(marginals)
     ]
     cores = list(t.cores)
     Us = []
     idxs = []
     for n in range(t.dim()):
-        U = jnp.eye(t.shape[n], dtype=dtype) if t.Us[n] is None else t.Us[n]
-        expected = jnp.sum(
-            U * (marginals[n][:, None] / jnp.sum(marginals[n])), axis=0, keepdims=True
-        )
-        Us.append(jnp.concatenate((expected, U - expected), axis=0))
-        idxs.append(np.array([0] + [1] * t.shape[n]))
-    return tn.Tensor(cores, Us, idxs=idxs)
+        if t.Us[n] is None:
+            U = jnp.eye(shapes[n], dtype=dtype)
+            if t.batch:
+                U = jnp.broadcast_to(U, (t.shape[0],) + U.shape)
+        else:
+            U = t.Us[n]
+        w = (marginals[n] / jnp.sum(marginals[n]))[:, None]
+        expected = jnp.sum(U * w, axis=-2, keepdims=True)
+        Us.append(jnp.concatenate((expected, U - expected), axis=-2))
+        idxs.append(np.array([0] + [1] * shapes[n]))
+    if t.batch:
+        idxs = [np.arange(t.shape[0])] + idxs
+    return tn.Tensor(cores, Us, idxs=idxs, batch=t.batch)
 
 
 def undo_anova_decomposition(a):
@@ -49,8 +57,8 @@ def undo_anova_decomposition(a):
             Us.append(None)
         else:
             cores.append(a.cores[n])
-            Us.append(a.Us[n][1:, :] + a.Us[n][0:1, :])
-    return tn.Tensor(cores, Us=Us)
+            Us.append(a.Us[n][..., 1:, :] + a.Us[n][..., 0:1, :])
+    return tn.Tensor(cores, Us=Us, batch=a.batch)
 
 
 def truncate_anova(t, mask, keepdim=False, marginals=None):
@@ -74,40 +82,48 @@ def sobol(t, mask, marginals=None, normalize=True):
     if marginals is None:
         marginals = [None] * t.dim()
 
+    off = 1 if t.batch else 0
+    shapes = list(t.shape[off:])
     a = anova_decomposition(t, marginals)
     # Set the empty ANOVA term to 0
-    one_hot0 = tn.Tensor(
-        [
-            jnp.concatenate(
-                (jnp.ones((1, 1, 1), dtype=a.cores[0].dtype),
-                 jnp.zeros((1, sh - 1, 1), dtype=a.cores[0].dtype)),
-                axis=1,
-            )
-            for sh in a.shape
-        ]
-    )
-    a = a - one_hot0 * a[(0,) * t.dim()]
-    a.idxs = [np.array([0] + [1] * sh) for sh in t.shape]
+    dtype = a.cores[0].dtype
+    oh_cores = [
+        jnp.concatenate(
+            (jnp.ones((1, 1, 1), dtype=dtype), jnp.zeros((1, sh, 1), dtype=dtype)),
+            axis=1,
+        )
+        for sh in shapes
+    ]
+    if t.batch:
+        B = t.shape[0]
+        oh_cores = [jnp.broadcast_to(c, (B,) + c.shape) for c in oh_cores]
+    one_hot0 = tn.Tensor(oh_cores, batch=t.batch)
+    # a[(0,)*N] is a scalar (per-sample (B,) for batch — the per-sample
+    # scalar arithmetic broadcasts it over each sample)
+    empty_term = a[(slice(None),) * off + (0,) * t.dim()]
+    a = a - one_hot0 * empty_term
+    idxs = [np.array([0] + [1] * sh) for sh in shapes]
+    a.idxs = ([np.arange(t.shape[0])] + idxs) if t.batch else idxs
 
     am = a.clone()
     for n in range(t.dim()):
         if marginals[n] is None:
-            m = jnp.ones(t.shape[n], dtype=a.cores[0].dtype)
+            m = jnp.ones(shapes[n], dtype=dtype)
         else:
             m = asarray(marginals[n])
         m = m / jnp.sum(m)
         if am.Us[n] is None:
-            if am.cores[n].ndim == 3:
-                am.cores[n] = am.cores[n].at[:, 1:, :].multiply(m[None, :, None])
-            else:
-                am.cores[n] = am.cores[n].at[1:, :].multiply(m[:, None])
+            # (..., I, R_right): m[:, None] broadcasts over every layout
+            # (TT 3D/4D, CP 2D/3D)
+            am.cores[n] = am.cores[n].at[..., 1:, :].multiply(m[:, None])
         else:
-            am.Us[n] = am.Us[n].at[1:, :].multiply(m[:, None])
+            am.Us[n] = am.Us[n].at[..., 1:, :].multiply(m[:, None])
     am_masked = tn.mask(am, mask)
     if am_masked.cores[-1].shape[-1] > 1:
-        am_masked.cores.append(
-            jnp.eye(am_masked.cores[-1].shape[-1], dtype=a.cores[0].dtype)[:, :, None]
-        )
+        eye = jnp.eye(am_masked.cores[-1].shape[-1], dtype=dtype)[:, :, None]
+        if t.batch:
+            eye = jnp.broadcast_to(eye, (t.shape[0],) + eye.shape)
+        am_masked.cores.append(eye)
         am_masked.Us.append(None)
 
     if normalize:
@@ -129,8 +145,12 @@ def dimension_distribution(t, mask=None, order=None, marginals=None):
     if order is None:
         order = t.dim()
     if mask is None:
-        return sobol(t, tn.weight_one_hot(t.dim(), order + 1), marginals=marginals).full()[1:]
+        # [..., 1:]: skip the order-0 (empty) term; ellipsis keeps the
+        # leading batch axis of a batched result
+        return sobol(t, tn.weight_one_hot(t.dim(), order + 1), marginals=marginals).full()[..., 1:]
     mask2 = tn.mask(tn.weight_one_hot(t.dim(), order + 1), mask)
-    return sobol(t, mask2, marginals=marginals).full()[1:] / sobol(
-        t, mask, marginals=marginals
-    )
+    num = sobol(t, mask2, marginals=marginals).full()[..., 1:]
+    den = sobol(t, mask, marginals=marginals)
+    if getattr(num, "ndim", 1) > 1:  # batched: (B, order) / (B, 1)
+        den = den[..., None]
+    return num / den

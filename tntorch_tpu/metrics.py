@@ -71,8 +71,6 @@ def dot(t1, t2, k=None):
                 t1.shape[off:off + k], t2.shape[off:off + k]
             )
         )
-    if batch and (k < t1.dim() or k < t2.dim()):
-        raise ValueError("Partial-k dot is not supported for batch tensors")
 
     for mu in range(k):
         core1 = t1.cores[mu]
@@ -95,21 +93,24 @@ def dot(t1, t2, k=None):
         else:
             Lprod = jnp.einsum("...as,...sar->...sr", Vcore, Ucore)
 
-    if batch:
-        return jnp.sum(Lprod, axis=(-2, -1))  # per-sample dot values
+    if k == t1.dim() and k == t2.dim():
+        # Full contraction: per-sample (B,) values for batch, a scalar else
+        return jnp.sum(Lprod, axis=(-2, -1)) if batch else jnp.sum(Lprod)
 
+    # Partial-k: fold Lprod into the trailing cores (batch-aware — the
+    # reference has neither batch dot nor batch partial dot)
     if k < t1.dim():
-        t1trail = tn.Tensor(list(t1.cores[k:]), list(t1.Us[k:]))
+        t1trail = tn.Tensor(list(t1.cores[k:]), list(t1.Us[k:]), batch=batch)
         t1trail.cores[0] = _project_left(t1trail.cores[0], Lprod)
         if k == t2.dim():
             return t1trail
-        t2trail = tn.Tensor(list(t2.cores[k:]), list(t2.Us[k:]))
+        t2trail = tn.Tensor(list(t2.cores[k:]), list(t2.Us[k:]), batch=batch)
         t1trail = tn.transpose(t1trail)
-        return tn.Tensor(t1trail.cores + t2trail.cores, Us=t1trail.Us + t2trail.Us)
-    if k == t2.dim():
-        return jnp.sum(Lprod)
-    t2trail = tn.Tensor(list(t2.cores[k:]), list(t2.Us[k:]))
-    t2trail.cores[0] = _project_left(t2trail.cores[0], Lprod.T)
+        return tn.Tensor(
+            t1trail.cores + t2trail.cores, Us=t1trail.Us + t2trail.Us, batch=batch
+        )
+    t2trail = tn.Tensor(list(t2.cores[k:]), list(t2.Us[k:]), batch=batch)
+    t2trail.cores[0] = _project_left(t2trail.cores[0], jnp.swapaxes(Lprod, -1, -2))
     return t2trail
 
 

@@ -238,11 +238,14 @@ Miscellaneous
 
 
 def mask(t, mask):
-    """idxs-aligned elementwise mask product (reference tools.py:333-359)."""
+    """idxs-aligned elementwise mask product (reference tools.py:333-359).
+    Batch input is supported (beyond-parity): the non-batch mask is
+    broadcast over the leading batch axis."""
+    off = 1 if t.batch else 0
     if not hasattr(t, "idxs") or t.idxs is None:
-        idxs = [np.arange(sh) for sh in t.shape]
+        idxs = [np.arange(sh) for sh in t.shape[off:]]
     else:
-        idxs = t.idxs
+        idxs = t.idxs[off:] if t.batch else t.idxs
     cores, Us = [], []
     for n in range(t.dim()):
         idx = np.array(idxs[n]).astype(np.int64)
@@ -253,7 +256,11 @@ def mask(t, mask):
         else:
             cores.append(mask.cores[n])
             Us.append(mask.Us[n][idx, :])
-    m = tn.Tensor(cores, Us)
+    if t.batch:
+        B = t.shape[0]
+        cores = [jnp.broadcast_to(c, (B,) + c.shape) for c in cores]
+        Us = [None if U is None else jnp.broadcast_to(U, (B,) + U.shape) for U in Us]
+    m = tn.Tensor(cores, Us, batch=t.batch)
     return t * m
 
 
