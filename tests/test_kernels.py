@@ -110,9 +110,7 @@ def test_round_gram_rand_quasi_optimal():
 
 def test_pallas_gram_edges_interpret():
     """Fused Pallas Gram-chain edges (interpret mode) match the einsum pair."""
-    from tntorch_tpu.ops.pallas_gram import (
-        HAVE_PALLAS, pallas_gram_edge, pallas_left_gram_edge,
-    )
+    from tntorch_tpu.ops.pallas_gram import HAVE_PALLAS, pallas_gram_edge
 
     if not HAVE_PALLAS:
         return
@@ -120,15 +118,11 @@ def test_pallas_gram_edges_interpret():
     B, Rl, I, Rr = 2, 16, 48, 8
     C = jnp.asarray(rng.standard_normal((B, Rl, I, Rr)), dtype=jnp.float32)
     G = jnp.asarray(rng.standard_normal((B, Rr, Rr)), dtype=jnp.float32)
-    L = jnp.asarray(rng.standard_normal((B, Rl, Rl)), dtype=jnp.float32)
-
     want = jnp.einsum("zaic,zdic->zad", jnp.einsum("zaib,zbc->zaic", C, G), C)
     got = pallas_gram_edge(C, G, interpret=True)
     assert float(jnp.abs(got - want).max()) <= 1e-4 * float(jnp.abs(want).max())
-
-    want_l = jnp.einsum("zaib,zac,zcid->zbd", C, L, C)
-    got_l = pallas_left_gram_edge(C, L, interpret=True)
-    assert float(jnp.abs(got_l - want_l).max()) <= 1e-4 * float(jnp.abs(want_l).max())
+    # (the LEFT Gram edge needs no fused kernel anymore: with the identity
+    # L-weighting removed it is a single contiguous SYRK GEMM)
 
 
 def test_round_tt_gram_batched_matches_vmap():

@@ -136,65 +136,6 @@ def pallas_gram_edge(C, G, interpret: bool = False, precision: str = "highest"):
     )(C, G)
 
 
-def _left_gram_edge_kernel(c_ref, l_ref, out_ref):
-    """One (batch, i-tile) step of the LEFT Gram: out += C_i^T (L C_i)."""
-    i_step = pl.program_id(1)
-
-    C = c_ref[0]  # (Rl, TILE_I, Rr)
-    L = l_ref[0]  # (Rl, Rl)
-    Rl, TI, Rr = C.shape
-    # T[a, i, d] = sum_c L[a, c] C[c, i, d]: contiguous reshape (c, i*d)
-    T = jnp.dot(
-        L, C.reshape(Rl, TI * Rr),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    # out[b, d] += sum_{a,i} C[a, i, b] T[a, i, d]: both as ((a*i), x)
-    acc = jax.lax.dot_general(
-        C.reshape(Rl * TI, Rr), T.reshape(Rl * TI, Rr),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-    @pl.when(i_step == 0)
-    def _init():
-        out_ref[0] = acc.astype(out_ref.dtype)
-
-    @pl.when(i_step > 0)
-    def _acc():
-        out_ref[0] += acc.astype(out_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def pallas_left_gram_edge(C, L, interpret: bool = False):
-    """Batched fused left-Gram edge: (B, Rl, I, Rr), (B, Rl, Rl) -> (B, Rr, Rr).
-
-    Equivalent to ``einsum('...aib,...ac,...cid->...bd', C, L, C)`` with f32
-    accumulation, reading C from HBM once.
-    """
-    if not HAVE_PALLAS:
-        raise RuntimeError("Pallas unavailable in this jaxlib build")
-    B, Rl, I, Rr = C.shape
-    tile = _pick_tile(Rl, I, Rr)
-    assert tile, "unsupported shape (check gram_edge_supported first)"
-    grid = (B, I // tile)
-    return pl.pallas_call(
-        _left_gram_edge_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, Rl, tile, Rr), lambda b, i: (b, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rl, Rl), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Rr, Rr), lambda b, i: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Rr, Rr), C.dtype),
-        interpret=interpret,
-    )(C, L)
-
-
 def gram_edge_supported(C) -> bool:
     """Shape/dtype gate for the fused kernel: f32, lane-aligned ranks, and
     a C tile + T tile that fit the VMEM budget.

@@ -196,28 +196,12 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
     edge_solver = resolve_edge_solver(edge_solver, precision)
     if precision == "bf16":
         return _round_tt_gram_bf16_jit(tuple(cores), rmax, edge_solver)
-    if jax.default_backend() == "tpu":
-        # Single-stream ride of the batched body (B=1): the fused Pallas
-        # right-chain edges skip the HBM round trip of the 16 MB T=C*G
-        # intermediate, which the single-stream sweep pays too. Per-edge
-        # support is gated inside the batched body; route whenever at
-        # least one interior edge qualifies (boundary cores never do).
-        from tntorch_tpu.ops.pallas_gram import gram_edge_supported
-
-        if any(
-            gram_edge_supported(jax.ShapeDtypeStruct((1,) + tuple(c.shape), c.dtype))
-            for c in cores
-        ):
-            return _round_tt_gram_b1_pallas(tuple(cores), rmax, edge_solver, precision)
+    # (A B=1 ride of the batched fused-Pallas right chain was measured
+    # SLOWER than the plain einsum program single-stream — at B=1 XLA's own
+    # fusion already keeps the 16 MB T=C*G intermediate pipelined, and the
+    # Pallas grid adds launch overhead. The fused edges pay off from the
+    # batched path, where the per-edge intermediate is B x 16 MB.)
     return _round_tt_gram_prec_jit(tuple(cores), rmax, precision, edge_solver)
-
-
-@partial(jax.jit, static_argnums=(1, 2, 3))
-def _round_tt_gram_b1_pallas(cores, rmax, edge_solver, precision):
-    out = round_tt_gram_batched(
-        tuple(c[None] for c in cores), rmax, edge_solver, True, precision
-    )
-    return [c[0] for c in out]
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))

@@ -1455,6 +1455,10 @@ class Tensor:
             # (see ops/rounding.round_tt_gram). Requires explicit rmax.
             # 'randgram' swaps the per-edge eigh for randomized subspace
             # iteration (quasi-optimal truncation, ~2x faster on TPU).
+            # ACCURACY NOTE: the Gram method squares the condition number;
+            # in f32 on rank-deficient input (e.g. rounding t+t) expect a
+            # ~1e-3 relative error floor — use algorithm='svd'/'eig'
+            # (the QR-sweep kernels) or f64 when that matters (PERF.md).
             if any(r is None for r in rmax):
                 raise ValueError(f"algorithm='{algorithm}' requires explicit rmax")
             if jnp.iscomplexobj(self.cores[0]):
