@@ -370,17 +370,29 @@ def gram_schmidt(x, S):
 
 def lars_path(X, y, max_nonzero: Optional[int] = None):
     """Least Angle Regression (Efron et al. 2004), returning the full
-    coefficient path. Native NumPy implementation — replaces the reference's
-    sklearn.linear_model.Lars dependency (interpolation.py:506-509).
+    coefficient path. Replaces the reference's sklearn.linear_model.Lars
+    dependency (interpolation.py:506-509).
+
+    Covariance-form split: the O(P*M^2) work — the Gram X^T X and the
+    correlation vector X^T y — runs ONCE on device (MXU GEMMs); the
+    inherently sequential active-set loop then touches only M-sized host
+    state (correlations update as c -= gamma * a with a = G[:, A] w, so
+    the P-length residual never exists). Identical math to residual-form
+    LARS.
 
     :param X: design matrix (P x M), columns assumed non-degenerate
     :param y: target vector (P,)
     :param max_nonzero: stop after this many active features (default: min(P, M))
     :return: coef_path, an (M x K) matrix; column k has k active coefficients
     """
-    X = np.asarray(to_numpy(X), dtype=np.float64)
-    y = np.asarray(to_numpy(y), dtype=np.float64)
-    P, M = X.shape
+    import jax
+
+    Xd = asarray(X)
+    yd = asarray(y)
+    P, M = Xd.shape
+    with jax.default_matmul_precision("highest"):
+        G_full = np.asarray(Xd.T @ Xd, dtype=np.float64)
+        b = np.asarray(Xd.T @ yd, dtype=np.float64)
     if max_nonzero is None:
         max_nonzero = min(P, M)
     max_nonzero = min(max_nonzero, min(P, M))
@@ -388,11 +400,10 @@ def lars_path(X, y, max_nonzero: Optional[int] = None):
     coef = np.zeros(M)
     path = [coef.copy()]
     active: list = []
-    residual = y.copy()
+    c = b.copy()  # current correlations X^T (y - X coef)
     tiny = 1e-12
 
     while len(active) < max_nonzero:
-        c = X.T @ residual
         C = np.abs(c).max()
         if C < tiny:
             break
@@ -401,8 +412,7 @@ def lars_path(X, y, max_nonzero: Optional[int] = None):
         j = inactive[np.argmax(np.abs(c[inactive]))]
         active.append(int(j))
         s = np.sign(c[active])
-        XA = X[:, active] * s[None, :]
-        G = XA.T @ XA
+        G = G_full[np.ix_(active, active)] * np.outer(s, s)
         try:
             w = np.linalg.solve(G, np.ones(len(active)))
         except np.linalg.LinAlgError:
@@ -410,8 +420,7 @@ def lars_path(X, y, max_nonzero: Optional[int] = None):
         denom = np.sqrt(max(np.sum(w), tiny))
         AA = 1.0 / denom
         w = AA * w
-        u = XA @ w  # equiangular direction
-        a = X.T @ u
+        a = (G_full[:, active] * s[None, :]) @ w  # X^T u without forming u
 
         if len(active) < M and len(active) < max_nonzero:
             ina = np.setdiff1d(np.arange(M), active)
@@ -426,7 +435,7 @@ def lars_path(X, y, max_nonzero: Optional[int] = None):
             gamma = C / AA
 
         coef[active] += gamma * s * w
-        residual = residual - gamma * u
+        c = c - gamma * a
         path.append(coef.copy())
 
     return np.stack(path, axis=1)  # M x K
