@@ -413,8 +413,15 @@ def main():
     shapes = [c.shape for c in cores_np]
     flops = round_tt_flops(shapes, rmax)
 
+    stage_t0 = time.time()
+
+    def _stage(name):
+        nonlocal_t = time.time()
+        print(f"# stage {name} done at t+{nonlocal_t - stage_t0:.0f}s", file=sys.stderr)
+
     t_ours, _ = bench_ours(cores_np, rmax)
     gflops_ours = flops / t_ours / 1e9
+    _stage("headline")
 
     extra = {}
     try:
@@ -422,6 +429,7 @@ def main():
         extra["tt_round_batched_gflops"] = round(flops / t_batched / 1e9, 1)
     except Exception as e:
         print(f"# batched bench failed: {e}", file=sys.stderr)
+    _stage("batched")
 
     # Accuracy-first path ('highest' policy, exact eigh edges — the
     # reference's Gram-eig accuracy class) + batched rand edges + the
@@ -435,6 +443,7 @@ def main():
         extra["tt_round_single_dispatch_gflops"] = round(flops / t_sd / 1e9, 1)
     except Exception as e:
         print(f"# exact bench failed: {e}", file=sys.stderr)
+    _stage("exact+single_dispatch")
 
     # Performance-mode numbers (tn.set_policy): fast-f32 and bf16-in/f32-acc
     for key, prec in [("tt_round_f32_gflops", "default"), ("tt_round_bf16_gflops", "bf16")]:
@@ -444,10 +453,12 @@ def main():
         except Exception as e:
             print(f"# {prec} bench failed: {e}", file=sys.stderr)
 
+    _stage("precision_modes")
     try:
         extra["sparse_tt_svd_samples_per_s"] = round(bench_sparse_tt_svd(), 1)
     except Exception as e:
         print(f"# sparse_tt_svd bench failed: {e}", file=sys.stderr)
+    _stage("sparse_tt_svd")
 
     try:
         hilbert_s, evals_s = bench_cross_ours()
@@ -460,6 +471,7 @@ def main():
             print(f"# cross torch baseline failed: {e}", file=sys.stderr)
     except Exception as e:
         print(f"# cross bench failed: {e}", file=sys.stderr)
+    _stage("cross")
 
     try:
         t_base, _ = bench_torch_cpu(cores_np, rmax)
