@@ -66,6 +66,13 @@ def set_policy(precision: str) -> None:
       and keep f32 accumulation + f32 factorizations (eigh/cholesky/solves).
       Expect ~1e-2 relative error; use when HBM bandwidth dominates.
 
+    The policy also selects ALGORITHM variants, not just matmul passes:
+    every performance mode ('high'/'default'/'bf16') switches the
+    orthogonalization sweeps to CholeskyQR2 and the Gram-rounding
+    truncation edges to randomized subspace iteration (quasi-optimal
+    truncation, no eigh — the library's fastest kernels); ``"highest"``
+    keeps Householder QR and exact eigh everywhere.
+
     Error-budget consequence: `eps`-driven rounding decisions compare
     singular-value tails against eps*||t||; below the mode's contraction
     error (see above) the decisions become noise, so eps targets tighter
