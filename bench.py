@@ -213,7 +213,13 @@ def bench_ours_exact(cores_np, rmax, iters=10, K=8):
 
 def bench_sparse_tt_svd():
     """Device-side sparse_tt_svd (scatter + Gram GEMM + eigh on device):
-    samples/second fitting a TT to sparse COO data."""
+    samples/second fitting a TT to sparse COO data.
+
+    `rmax` is essential here: the algorithm fits the ZERO-FILLED tensor
+    (reference semantics), and 20k random points in 32^6 cells make that
+    tensor near full-rank, so an unbounded eps-only run grows intermediate
+    unfoldings to eigh(32768)-scale. Bounded ranks match the reference's
+    real usage (PCE coefficient sets)."""
     import tntorch_tpu as tn
 
     N, I, P = 6, 32, 20000
@@ -221,12 +227,12 @@ def bench_sparse_tt_svd():
     X = rng.integers(0, I, (P, N))
     gt = [rng.standard_normal((I,)) for _ in range(N)]
     y = np.prod(np.stack([g[X[:, n]] for n, g in enumerate(gt)]), axis=0)
-    t = tn.sparse_tt_svd(X, y, eps=1e-6, shape=[I] * N)  # warm-up
+    t = tn.sparse_tt_svd(X, y, eps=1e-6, shape=[I] * N, rmax=16)  # warm-up
     _sync(t.cores[0])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        t = tn.sparse_tt_svd(X, y, eps=1e-6, shape=[I] * N)
+        t = tn.sparse_tt_svd(X, y, eps=1e-6, shape=[I] * N, rmax=16)
         _sync(t.cores[0])
         times.append(time.perf_counter() - t0)
     return P / min(times)

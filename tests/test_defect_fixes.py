@@ -359,3 +359,61 @@ def test_eq_inside_jit_clear_error():
         f(tuple(t.cores))
     # outside jit it still works
     assert t == t
+
+
+def test_truncate_anova_batch_keepdim_false():
+    """Batch truncate_anova(keepdim=False) must slice modes, not the batch
+    axis (round-3 review: the slicing tuple omitted the leading batch axis,
+    shifting every mode key by one)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, 5)))
+    t = tn.Tensor(x, ranks_tt=8, batch=True)
+    mask = tn.only(tn.symbols(3)[0])
+    tr = tn.truncate_anova(t, mask, keepdim=False)
+    assert tr.numpy().shape == (2, 5)
+    for b in range(2):
+        single = tn.Tensor(x[b], ranks_tt=8)
+        ref = tn.truncate_anova(single, mask, keepdim=False)
+        assert np.allclose(tr.numpy()[b], ref.numpy(), atol=1e-8)
+
+
+def test_round_tucker_wide_cores_after_add():
+    """round_tucker on rank-doubled (t+t) input hits 'wide' TT cores
+    (Rl > I*Rr) near the right edge; the push-left reshape must use the
+    reduced-QR width, not Rl (round-3 review crash)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((6, 6, 6)))
+    t = tn.Tensor(x, ranks_tt=6)
+    s = t + t
+    s.round_tucker(eps=1e-10)
+    assert np.allclose(s.numpy(), 2 * x, atol=1e-8)
+    # complex input rides the same jitted body
+    xc = jnp.asarray(
+        rng.standard_normal((6, 6, 6)) + 1j * rng.standard_normal((6, 6, 6))
+    )
+    tc = tn.Tensor(xc, ranks_tt=6)
+    sc = tc + tc
+    sc.round_tucker(eps=1e-10)
+    assert np.allclose(sc.numpy(), 2 * xc, atol=1e-8)
+    # batch variant
+    xb = jnp.asarray(rng.standard_normal((2, 6, 6, 6)))
+    tb = tn.Tensor(xb, ranks_tt=6, batch=True)
+    sb = tb + tb
+    sb.round_tucker(eps=1e-10)
+    assert np.allclose(sb.numpy(), 2 * xb, atol=1e-8)
+
+
+def test_sharded_checkpoint_roundtrips_idxs(tmp_path):
+    """save_orbax_sharded/load_orbax_sharded must preserve t.idxs (round-3
+    review: the sharded format silently dropped them, so mask/sobol on a
+    restored anova tensor diverged)."""
+    t = tn.rand([4, 4, 4], ranks_tt=3, key=jax.random.key(3))
+    a = tn.anova_decomposition(t)
+    p = tmp_path / "anova_ckpt"
+    tn.save_orbax_sharded(a, p)
+    b = tn.load_orbax_sharded(p)
+    assert b.idxs is not None
+    for ia, ib in zip(a.idxs, b.idxs):
+        assert np.array_equal(np.asarray(ia), np.asarray(ib))
+    m = tn.only(tn.symbols(3)[1])
+    assert np.allclose(tn.mask(a, m).numpy(), tn.mask(b, m).numpy(), atol=1e-10)

@@ -72,6 +72,9 @@ def truncate_anova(t, mask, keepdim=False, marginals=None):
         slices: list = [0 for _ in range(N)]
         for i in np.where(affecting)[0]:
             slices[int(i)] = slice(None)
+        if t.batch:
+            # __getitem__ keys on a batch tensor address the batch axis first.
+            slices.insert(0, slice(None))
         t = t[tuple(slices)]
     return t
 

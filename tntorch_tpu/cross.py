@@ -304,7 +304,7 @@ def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys
         if Q.shape[0] <= Q.shape[1]:
             lj = jnp.arange(Q.shape[0], dtype=jnp.int32)
         else:
-            lj, _ = _maxvol_device_impl(Q, 1.05, 100)
+            lj, _ = _maxvol_device_impl(Q, 1.05, mv_iters)
         li, lr = lj // Rs[j + 1], lj % Rs[j + 1]
         cores[j] = jnp.linalg.solve(Q[lj, :].T, Q.T).reshape(Rs[j], Is[j], Rs[j + 1])
         rsets[j - 1] = jnp.concatenate(

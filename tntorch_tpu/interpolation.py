@@ -12,6 +12,7 @@ two changes:
 
 from __future__ import annotations
 
+import logging
 import time
 from functools import partial
 from typing import Optional
@@ -260,6 +261,13 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None):
     cores = []
     curshape = shape.copy()
     for n in range(1, N):
+        if curshape[0] > 8192:
+            logging.warning(
+                "sparse_tt_svd: unfolding has %d rows (eigh of that size); "
+                "the algorithm fits the zero-filled tensor, which is "
+                "near full-rank for scattered data — pass rmax= to bound "
+                "intermediate ranks", curshape[0]
+            )
         left, X, y = sparse_truncate_svd(X, y, curshape[0], delta=delta, rmax=rmax)
         cores.append(left.reshape(left.shape[0] // shape[n - 1], shape[n - 1], left.shape[1]))
         curshape[0] = left.shape[1]

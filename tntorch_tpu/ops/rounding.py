@@ -580,8 +580,10 @@ def _tucker_eps_body(cores, us, eps, dims, algorithm, rmax_tuple):
             Q, L = jnp.linalg.qr(Mt)
             cores[mu] = Q.T.reshape((Q.shape[1],) + core.shape[1:])
             prev = cores[mu - 1]
+            # Reduced QR of a wide unfolding (Rl > I*Rr) gives L of shape
+            # (min, Rl); the pushed-left width is L.shape[0], not Rl.
             cores[mu - 1] = (prev.reshape(-1, Rl) @ L.T).reshape(
-                prev.shape[:-1] + (L.shape[1],)
+                prev.shape[:-1] + (L.shape[0],)
             )
     return cores, us, jnp.stack(effs[::-1]).astype(jnp.int32)
 

@@ -121,6 +121,13 @@ def save_orbax_sharded(t, path):
         "U_specs": {
             str(n): _spec_to_json(U) for n, U in enumerate(t.Us) if U is not None
         },
+        # idxs are small host-side index labels (mask/anova alignment) —
+        # they ride the sidecar JSON rather than the sharded payload.
+        "idxs": {
+            str(n): np.asarray(i).tolist()
+            for n, i in enumerate(getattr(t, "idxs", []) or [])
+            if i is not None
+        },
         "version": 1,
     }
     path = os.path.abspath(str(path))
@@ -176,7 +183,14 @@ def load_orbax_sharded(path, mesh=None):
         jnp.asarray(payload["Us"][str(n)]) if str(n) in (payload.get("Us") or {}) else None
         for n in range(N)
     ]
-    t = tn.Tensor(cores, Us=Us, batch=bool(meta["batch"]))
+    idxs_meta = meta.get("idxs", {}) or {}
+    idxs = [
+        np.asarray(idxs_meta[str(n)]) if str(n) in idxs_meta else None
+        for n in range(N)
+    ]
+    if not any(i is not None for i in idxs):
+        idxs = None
+    t = tn.Tensor(cores, Us=Us, idxs=idxs, batch=bool(meta["batch"]))
     t.frozen_Us = set(meta.get("frozen_Us", ()))
     return t
 

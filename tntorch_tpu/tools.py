@@ -438,9 +438,6 @@ def convolve(t1, t2, mode: str = "full", **kwargs):
     return t12
 
 
-from functools import partial as _partial
-
-
 @_partial(jax.jit, static_argnums=(1, 2, 4))
 def _shift_mode_kernel(cores, n, shift, eps, same_mode):
     """All pairwise SVD swaps of a mode shift as ONE jitted program
