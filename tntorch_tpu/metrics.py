@@ -7,11 +7,12 @@ jit); all other metrics ride on it or on `ttm` rank-1 contractions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.utils import asarray
+from tntorch_tpu.utils import asarray, matmul_precision
 
 
 def _process(gt, approx):
@@ -36,8 +37,16 @@ def _process(gt, approx):
 
 
 def dot(t1, t2, k=None):
-    """Generalized dot: contract the k leading dims (reference metrics.py:28-116)."""
+    """Generalized dot: contract the k leading dims (reference metrics.py:28-116).
 
+    The contraction chain runs at the policy's matmul precision (exact under
+    the default 'highest' policy — on TPU the ambient default would be
+    single-pass bf16, ~1e-3 noise per contraction)."""
+    with jax.default_matmul_precision(matmul_precision()):
+        return _dot_impl(t1, t2, k)
+
+
+def _dot_impl(t1, t2, k=None):
     t1, t2 = _process(t1, t2)
     if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
         return jnp.dot(t1.reshape(-1), t2.reshape(-1))
@@ -335,24 +344,8 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
     ts = tstt
 
     if algorithm == "exact":
-        K = len(ts)
-        N = ts[0].dim()
-        core = jnp.ones([1] * K, dtype=ts[0].cores[0].dtype)
-        for n in range(N):
-            B = ts[0].shape[n]
-            core = jnp.tile(core[None], [B] + [1] * K)
-            for i in range(K):
-                neworder = [0, *list(np.delete(np.arange(1, K + 1), i)), i + 1]
-                undo = list(np.argsort(neworder))
-                unfolded = jnp.transpose(core, neworder)
-                shape = list(unfolded.shape)
-                unfolded = unfolded.reshape(B, -1, core.shape[i + 1])
-                unfolded = jnp.matmul(unfolded, jnp.transpose(ts[i].cores[n], (1, 0, 2)))
-                shape[-1] = ts[i].cores[n].shape[2]
-                unfolded = unfolded.reshape(shape)
-                core = jnp.transpose(unfolded, undo)
-            core = jnp.sum(core, axis=0)
-        return core.reshape(())
+        with jax.default_matmul_precision(matmul_precision()):
+            return _hadamard_sum_exact(ts)
 
     N = ts[0].dim()
     thiscores = get_tensor([t.cores[0] for t in ts])
@@ -372,6 +365,27 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
             ]
         else:
             return tn.Tensor(thiscores).full().reshape(())
+
+
+def _hadamard_sum_exact(ts):
+    K = len(ts)
+    N = ts[0].dim()
+    core = jnp.ones([1] * K, dtype=ts[0].cores[0].dtype)
+    for n in range(N):
+        B = ts[0].shape[n]
+        core = jnp.tile(core[None], [B] + [1] * K)
+        for i in range(K):
+            neworder = [0, *list(np.delete(np.arange(1, K + 1), i)), i + 1]
+            undo = list(np.argsort(neworder))
+            unfolded = jnp.transpose(core, neworder)
+            shape = list(unfolded.shape)
+            unfolded = unfolded.reshape(B, -1, core.shape[i + 1])
+            unfolded = jnp.matmul(unfolded, jnp.transpose(ts[i].cores[n], (1, 0, 2)))
+            shape[-1] = ts[i].cores[n].shape[2]
+            unfolded = unfolded.reshape(shape)
+            core = jnp.transpose(unfolded, undo)
+        core = jnp.sum(core, axis=0)
+    return core.reshape(())
 
 
 def normsq(t):

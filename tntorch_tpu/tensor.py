@@ -116,6 +116,28 @@ def _broadcast(a: "Tensor", b: "Tensor"):
 from functools import partial as _partial
 
 
+_f32_gram_warned = False
+
+
+def _warn_f32_gram_once():
+    """One-time accuracy note for sub-f64 Gram rounding under performance
+    policies: the ~1e-3 error floor on rank-deficient input must not be
+    silent (it follows from squared conditioning, see PERF.md)."""
+    global _f32_gram_warned
+    if not _f32_gram_warned:
+        _f32_gram_warned = True
+        import logging
+
+        logging.warning(
+            "round_tt(algorithm='gram'/'randgram') on float32 cores: the "
+            "Gram method squares the condition number, so rank-deficient "
+            "input (e.g. rounding t+t) carries a ~1e-3 relative error "
+            "floor. Use tn.set_policy('highest') (which routes 'gram' to "
+            "the SVD sweep), algorithm='svd', or float64 cores when "
+            "accuracy matters. This warning is shown once per process."
+        )
+
+
 def _cp_khatri_asc(cores, batch):
     """Khatri-Rao product of a list of CP factors, rows in C order (earlier
     modes slower) so they align with trailing/leading reshapes of the data."""
@@ -1192,7 +1214,17 @@ class Tensor:
         return t
 
     def full(self) -> jax.Array:
-        """Decompress to a dense jnp array (reference `torch()`, tensor.py:1639-1687)."""
+        """Decompress to a dense jnp array (reference `torch()`, tensor.py:1639-1687).
+
+        Contractions are pinned to exact ('highest') matmul precision
+        regardless of the performance policy: decompression is the oracle /
+        diagnostic path, and on TPU the ambient default is single-pass bf16,
+        which would put ~1e-2 noise on every ``numpy()`` reconstruction
+        (caught by tests/test_tpu_live.py)."""
+        with jax.default_matmul_precision("highest"):
+            return self._full_impl()
+
+    def _full_impl(self) -> jax.Array:
         t = self.decompress_tucker_factors(_clone=False)
         dtype = t.cores[0].dtype
         m = self._m
@@ -1484,6 +1516,25 @@ class Tensor:
             )
             self._cp_to_tt()
             rt = tuple(int(r) for r in rmax)
+            if self.cores[0].dtype != jnp.float64:
+                if algorithm == "gram" and precision == "highest":
+                    # Accuracy-first routing (the 'highest' policy is a
+                    # declaration that precision matters): the Gram method
+                    # squares the condition number, so in f32 it carries a
+                    # ~1e-3 error floor on rank-deficient input — route to
+                    # the QR/SVD-sweep kernel instead. 'randgram' remains an
+                    # explicit opt-in to the performance variant.
+                    from tntorch_tpu.ops.rounding import round_tt_batch, round_tt_eps
+
+                    with tn.utils.trace_annotation("tn.round_tt:gram_to_svd_route"):
+                        if self.batch:
+                            self.cores = round_tt_batch(tuple(self.cores), list(rt), "svd")
+                        else:
+                            self.cores = round_tt_eps(
+                                tuple(self.cores), 0.0, list(rt), algorithm="svd"
+                            )
+                    return
+                _warn_f32_gram_once()
             with tn.utils.trace_annotation("tn.round_tt:gram_kernel"):
                 if self.batch:
                     if precision == "bf16":

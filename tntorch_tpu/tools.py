@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.utils import asarray, default_dtype
+from tntorch_tpu.utils import asarray, default_dtype, matmul_precision
 
 """
 Array-like manipulations
@@ -204,6 +204,11 @@ def ttm(t, U, dim=None, transpose: bool = False):
         dim = [dim]
     dim = [d + t.dim() if d < 0 else d for d in dim]
 
+    with jax.default_matmul_precision(matmul_precision()):
+        return _ttm_impl(t, U, dim, transpose)
+
+
+def _ttm_impl(t, U, dim, transpose):
     cores, Us = [], []
     for n in range(t.dim()):
         if n in dim:

@@ -97,6 +97,20 @@ def resolve_precision(precision=None) -> str:
     return _precision_policy if precision is None else precision
 
 
+def matmul_precision(precision=None) -> str:
+    """The `jax.default_matmul_precision` mode implied by the (resolved)
+    policy. 'bf16' means bf16 OPERANDS inside the kernels that implement it;
+    for eager contraction chains it maps to single-pass 'default'.
+
+    Eager paths need this explicitly: on TPU the ambient default is
+    single-pass bf16 for f32 inputs, so un-pinned einsum chains would carry
+    ~1e-3 noise even under the 'highest' policy (caught by
+    tests/test_tpu_live.py — the CPU suite never sees it because XLA-CPU
+    f32 matmuls are exact-f32 at every mode)."""
+    p = resolve_precision(precision)
+    return "default" if p == "bf16" else p
+
+
 def enable_compilation_cache(path=None):
     """Enable JAX's persistent compilation cache (recommended on TPU, where
     first-time compilation of the many small shapes dominates; do NOT share
