@@ -157,3 +157,35 @@ def test_batch_partial_k_dot():
     assert out.batch
     want = np.einsum("bijk,bij->bk", x1, x2)
     np.testing.assert_allclose(np.asarray(out.numpy()), want, atol=1e-10)
+
+
+def test_batch_optimize_matches_per_sample_fits():
+    """optimize() on a batch tensor: an elementwise optimizer with a
+    per-sample-separable loss updates each sample independently, so the
+    batch fit equals two single fits from the same inits (the reference
+    rejects batch in its parameter collection, autodiff.py:39-40)."""
+    rng = np.random.RandomState(5)
+    B, shape, R = 2, [6, 6, 6], 3
+    targets = jnp.asarray(rng.standard_normal((B, *shape)))
+    init = jnp.asarray(rng.standard_normal((B, *shape)))
+
+    def fit(t, target_dense, iters=60):
+        def loss(a):
+            # normsq of a batch tensor is per-sample (B,); the summed loss
+            # is separable, so each sample's update is independent
+            return jnp.sum(tn.normsq(a + (-1.0) * tn.Tensor(
+                target_dense, batch=target_dense.ndim == 4)))
+        tn.optimize([t], loss, max_iter=iters, tol=0.0, verbose=False)
+        return t
+
+    tb = tn.Tensor(init, ranks_tt=R, batch=True)
+    tb.requires_grad = True
+    fit(tb, targets)
+
+    for b in range(B):
+        t1 = tn.Tensor(init[b], ranks_tt=R)
+        t1.requires_grad = True
+        fit(t1, targets[b])
+        np.testing.assert_allclose(
+            np.asarray(tb.numpy()[b]), np.asarray(t1.numpy()), atol=1e-8
+        )

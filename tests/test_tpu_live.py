@@ -84,6 +84,31 @@ f = lambda *X: sum((Xi - 7.0) ** 2 for Xi in X) + 1.0
 mn = tn.minimum(tn.cross(function=f, domain=[jnp.arange(16.0)] * 3, eps=1e-6, verbose=False))
 assert abs(float(mn) - 1.0) < 1e-2, mn
 
+# --- fancy-indexed evaluation (the __getitem__ einsum chains must run at
+# policy precision: at the TPU ambient default they carry ~1e-3 noise).
+# Under 'highest' the results must be f32-exact; 'default' may be ~1e-3.
+tn.set_policy("highest")
+Xi = rng.integers(0, 16, (64, 4))
+vals = h[jnp.asarray(Xi)].numpy()
+for row, v in zip(Xi, vals):
+    exact = 1.0 / sum(float(dom[i][row[i]]) for i in range(4))
+    assert abs(v - exact) < 1e-3 * abs(exact), (row, v, exact)
+
+# --- TTMatrix multiply vs dense (policy-precision contraction chain)
+M = rng.standard_normal((16, 16)).astype(np.float32)
+tm = tn.TTMatrix(jnp.asarray(M), ranks=[16], input_dims=[4, 4], output_dims=[4, 4])
+v = rng.standard_normal((3, 16)).astype(np.float32)
+out = np.asarray(tn.tt_multiply(tm, jnp.asarray(v)))
+gt = v @ tm.numpy()
+rel = np.linalg.norm(out - gt) / np.linalg.norm(gt)
+assert rel < 1e-4, rel  # 'highest' policy: f32-exact chain
+# under 'default' policy the same chain may carry single-pass-bf16 noise,
+# but must stay within the documented ~1e-3-per-contraction class
+tn.set_policy("default")
+out_d = np.asarray(tn.tt_multiply(tm, jnp.asarray(v)))
+rel_d = np.linalg.norm(out_d - gt) / np.linalg.norm(gt)
+assert rel_d < 5e-2, rel_d
+
 print("TPU LIVE OK")
 """
 

@@ -33,8 +33,11 @@ def _get_params(tensors):
     params = {}
     for i, t in enumerate(tensors):
         if isinstance(t, tn.Tensor):
-            if t.batch:
-                raise ValueError("Batched tensors are not supported.")
+            # Batch tensors train like any other: the cores are pytree
+            # leaves whatever their rank, and an elementwise optimizer with
+            # a per-sample-separable loss updates each sample independently
+            # (the reference rejects batch here, autodiff.py:39-40 — one
+            # more case of SURVEY.md §7's "batch disappears" claim).
             if t.requires_grad:
                 frozen = getattr(t, "frozen_Us", ())
                 params[i] = {
@@ -82,6 +85,11 @@ def optimize(
 
     Stopping criterion mirrors the reference (autodiff.py:67-76): loss (or its
     relative improvement) below `tol` while the improvement rate decelerates.
+
+    Batch tensors are trainable (the reference rejects them): with a scalar
+    loss that sums per-sample terms (e.g. ``jnp.sum(tn.normsq(...))``), an
+    elementwise optimizer fits every ensemble member independently in one
+    loop — B fits for one dispatch stream.
 
     :param optimizer: an optax GradientTransformation (default optax.adam(1e-3),
         matching the reference's torch.optim.Adam default)

@@ -18,6 +18,7 @@ import numpy as np
 
 import tntorch_tpu as tn
 from tntorch_tpu.utils import asarray
+from tntorch_tpu.utils import policy_precision as _policy_precision
 
 
 class TTMatrix:
@@ -264,6 +265,7 @@ class CPMatrix:
         return self
 
 
+@_policy_precision
 def tt_multiply(tt_matrix: TTMatrix, tensor) -> jax.Array:
     """Multiply a TTMatrix with a (batched) tensor: returns b x O
     (reference matrix.py:420-443)."""
@@ -280,6 +282,7 @@ def tt_multiply(tt_matrix: TTMatrix, tensor) -> jax.Array:
     return result.reshape(b, -1)
 
 
+@_policy_precision
 def cp_multiply(cp_matrix: CPMatrix, tensor) -> jax.Array:
     """Multiply a CPMatrix with a (batched) tensor (reference matrix.py:446-468)."""
     tensor = asarray(tensor)

@@ -14,6 +14,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from tntorch_tpu.utils import policy_precision as _policy_precision
+
 
 def round_tt(t, **kwargs):
     """Copy-and-round via Tensor.round_tt (reference round.py:7-19)."""
@@ -36,6 +38,7 @@ def round(t, **kwargs):
     return t2
 
 
+@_policy_precision
 def truncated_svd(
     M,
     delta: Optional[float] = None,

@@ -32,6 +32,7 @@ import numpy as np
 
 import tntorch_tpu as tn
 from tntorch_tpu.utils import asarray, to_numpy
+from tntorch_tpu.utils import policy_precision as _policy_precision
 
 
 def _full_rank_tt(data: jax.Array) -> list:
@@ -366,6 +367,7 @@ class Tensor:
     # ------------------------------------------------------------------
     # CP-ALS decomposition of a dense tensor (reference tensor.py:210-400)
     # ------------------------------------------------------------------
+    @_policy_precision
     def _init_cp_als(self, data, ranks_cp, ranks_tucker, max_iter, tol, verbose, algorithm):
         batch = self.batch
         bdims = 1 if batch else 0
@@ -426,6 +428,7 @@ class Tensor:
     def _is_tt(self, core) -> bool:
         return core.ndim == self._m + 1
 
+    @_policy_precision
     def __add__(self, other):
         if not isinstance(other, Tensor):  # scalar (or per-sample scalars for batch)
             factor = other
@@ -532,6 +535,7 @@ class Tensor:
     def __neg__(self):
         return -1 * self
 
+    @_policy_precision
     def __mul__(self, other):
         if not isinstance(other, Tensor):  # scalar: spread |c|^(1/N), sign on core 0
             result = self.clone()
@@ -792,7 +796,16 @@ class Tensor:
     def __getitem__(self, key):
         """NumPy-style indexing over compressed cores; 5 accessor kinds:
         slice / int / index-array / None / mask-Tensor (reference tensor.py:1056-1434).
-        """
+
+        The index-merging einsum chains run at the policy's matmul precision
+        (on TPU the ambient default is single-pass bf16 — ~1e-3 noise on
+        every fancy-indexed evaluation otherwise, even under 'highest')."""
+        from tntorch_tpu.utils import matmul_precision
+
+        with jax.default_matmul_precision(matmul_precision()):
+            return self._getitem_impl(key)
+
+    def _getitem_impl(self, key):
         if isinstance(key, Tensor):
             if abs(float(tn.sum(key)) - 1) > 1e-8:
                 raise ValueError(
@@ -1190,6 +1203,12 @@ class Tensor:
         return Tensor(list(self.cores), batch=self.batch).full()
 
     def decompress_tucker_factors(self, dim="all", _clone: bool = True):
+        from tntorch_tpu.utils import matmul_precision
+
+        with jax.default_matmul_precision(matmul_precision()):
+            return self._decompress_tucker_factors_impl(dim, _clone)
+
+    def _decompress_tucker_factors_impl(self, dim="all", _clone: bool = True):
         if dim == "all":
             dim = range(self.dim())
         if not hasattr(dim, "__len__"):
@@ -1291,6 +1310,7 @@ class Tensor:
     # ------------------------------------------------------------------
     # Rounding and orthogonalization (reference tensor.py:1771-2098)
     # ------------------------------------------------------------------
+    @_policy_precision
     def factor_orthogonalize(self, mu: int):
         if self.Us[mu] is None:
             return
@@ -1301,6 +1321,7 @@ class Tensor:
         else:
             self.cores[mu] = jnp.einsum("...ijk,...aj->...iak", self.cores[mu], R)
 
+    @_policy_precision
     def left_orthogonalize(self, mu: int):
         """QR the mu-th core's left unfolding; push R right (reference tensor.py:1800-1833)."""
         assert 0 <= mu < self.dim() - 1
@@ -1313,6 +1334,7 @@ class Tensor:
         )
         return R
 
+    @_policy_precision
     def right_orthogonalize(self, mu: int):
         """LQ (via QR of the transpose) on the right unfolding; push L left."""
         assert 1 <= mu < self.dim()
@@ -1354,6 +1376,7 @@ class Tensor:
             L = self.right_orthogonalize(i)
         return R, L
 
+    @_policy_precision
     def round_tucker(self, eps: float = 1e-14, rmax=None, dim="all", algorithm: str = "svd"):
         """Reduce Tucker ranks in place (reference tensor.py:1911-2006)."""
         N = self.dim()
@@ -1447,6 +1470,7 @@ class Tensor:
             if mu > 0:
                 self.right_orthogonalize(mu)
 
+    @_policy_precision
     def round_tt(self, eps: float = 1e-14, rmax=None, algorithm: str = "svd", verbose: bool = False):
         """Reduce TT ranks in place: left-orthogonalize, then a right-to-left
         truncated-SVD sweep with error budget delta = eps*|t|/sqrt(N-1)

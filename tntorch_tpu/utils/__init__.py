@@ -111,6 +111,20 @@ def matmul_precision(precision=None) -> str:
     return "default" if p == "bf16" else p
 
 
+def policy_precision(fn):
+    """Decorator: run an eager contraction function under the policy's
+    matmul precision (see `matmul_precision`). The context participates in
+    jit trace-cache keys, so policy changes retrace rather than reuse."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision(matmul_precision()):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def enable_compilation_cache(path=None):
     """Enable JAX's persistent compilation cache (recommended on TPU, where
     first-time compilation of the many small shapes dominates; do NOT share
