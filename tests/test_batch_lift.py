@@ -189,3 +189,69 @@ def test_batch_optimize_matches_per_sample_fits():
         np.testing.assert_allclose(
             np.asarray(tb.numpy()[b]), np.asarray(t1.numpy()), atol=1e-8
         )
+
+
+def test_batch_derivatives_vs_loop():
+    """Batch partial/gradient/partialset/active_subspace/dgsm/laplacian
+    match per-sample results (the reference rejects batch throughout
+    derivatives.py)."""
+    rng = np.random.RandomState(9)
+    B = 2
+    xb = rng.standard_normal((B, 7, 7, 7))
+    tb = tn.Tensor(jnp.asarray(xb), batch=True, ranks_tt=5)
+    singles = [tn.Tensor(jnp.asarray(xb[b]), ranks_tt=5) for b in range(B)]
+
+    # partial (non-periodic + periodic)
+    for kw in ({}, {"periodic": True}):
+        pb = tn.partial(tb, 1, **kw).numpy()
+        for b in range(B):
+            np.testing.assert_allclose(
+                pb[b], tn.partial(singles[b], 1, **kw).numpy(), atol=1e-9
+            )
+
+    # gradient
+    gb = tn.gradient(tb)
+    for b in range(B):
+        g1 = tn.gradient(singles[b])
+        for d in range(3):
+            np.testing.assert_allclose(gb[d].numpy()[b], g1[d].numpy(), atol=1e-9)
+
+    # partialset
+    psb = tn.partialset(tb, order=1).numpy()
+    for b in range(B):
+        np.testing.assert_allclose(
+            psb[b], tn.partialset(singles[b], order=1).numpy(), atol=1e-8
+        )
+
+    # active_subspace / dgsm
+    wb, vb = tn.active_subspace(tb)
+    db = np.asarray(tn.dgsm(tb))
+    assert wb.shape == (B, 3) and vb.shape == (B, 3, 3) and db.shape == (B, 3)
+    for b in range(B):
+        w1, v1 = tn.active_subspace(singles[b])
+        np.testing.assert_allclose(np.asarray(wb)[b], np.asarray(w1), atol=1e-8)
+        # eigenvectors match up to sign
+        for k in range(3):
+            c = np.asarray(vb)[b][:, k] @ np.asarray(v1)[:, k]
+            np.testing.assert_allclose(
+                np.asarray(vb)[b][:, k], np.sign(c) * np.asarray(v1)[:, k], atol=1e-7
+            )
+        np.testing.assert_allclose(db[b], np.asarray(tn.dgsm(singles[b])), atol=1e-8)
+
+    # laplacian / divergence ride partial
+    lb = tn.laplacian(tb).numpy()
+    for b in range(B):
+        np.testing.assert_allclose(lb[b], tn.laplacian(singles[b]).numpy(), atol=1e-8)
+
+    # Tucker-factor batch path in partial
+    tt = tb.clone()
+    tt.round_tucker(rmax=5)
+    if any(U is not None for U in tt.Us):
+        pb = tn.partial(tt, 0).numpy()
+        for b in range(B):
+            # per-sample oracle from the batch tensor itself
+            dense = tt.numpy()[b]
+            s1 = tn.Tensor(jnp.asarray(dense), ranks_tt=7)
+            np.testing.assert_allclose(
+                pb[b], tn.partial(s1, 0).numpy(), atol=1e-7
+            )

@@ -16,11 +16,13 @@ from tntorch_tpu.utils import asarray
 
 def partialset(t, order=1, mask=None, bounds=None):
     """All partial derivatives of the given order(s), stacked into enlarged
-    cores and selected by a Hamming-weight automaton (reference derivatives.py:6-69)."""
-    if t.batch:
-        raise ValueError("Batched tensors are not supported.")
+    cores and selected by a Hamming-weight automaton (reference
+    derivatives.py:6-69; batch input is beyond-parity — the differencing is
+    per-core slicing and the weight mask broadcasts over the batch axis)."""
+    off = 1 if t.batch else 0
+    spatial = list(t.shape[off:])
     if bounds is None:
-        bounds = [[0, sh - 1] for sh in t.shape]
+        bounds = [[0, sh - 1] for sh in spatial]
     if not hasattr(order, "__len__"):
         order = [order]
     max_order = max(order)
@@ -29,7 +31,7 @@ def partialset(t, order=1, mask=None, bounds=None):
         if core.shape[-2] == 1:
             raise ValueError(
                 "Tensor size {} along dimension {} not enough to compute high-order derivative".format(
-                    t.shape[n], n
+                    spatial[n], n
                 )
             )
         step = (bounds[n][1] - bounds[n][0]) / (core.shape[-2] - 1)
@@ -39,10 +41,10 @@ def partialset(t, order=1, mask=None, bounds=None):
     idxs = []
     for n in range(t.dim()):
         if t.Us[n] is None:
-            stack = [t.cores[n] if t.cores[n].ndim == 3 else t._cp_to_tt(t.cores[n])]
+            stack = [t.cores[n] if t._is_tt(t.cores[n]) else t._cp_to_tt(t.cores[n])]
         else:
-            stack = [jnp.einsum("ijk,aj->iak", t._cp_to_tt(t.cores[n]), t.Us[n])]
-        idx = np.zeros([t.shape[n]])
+            stack = [jnp.einsum("...ijk,...aj->...iak", t._cp_to_tt(t.cores[n]), t.Us[n])]
+        idx = np.zeros([spatial[n]])
         for o in range(1, max_order + 1):
             stack.append(diff(stack[-1], n))
             idx = np.concatenate((idx, np.ones(stack[-1].shape[-2]) * o))
@@ -50,7 +52,9 @@ def partialset(t, order=1, mask=None, bounds=None):
                 break
         cores.append(jnp.concatenate(stack, axis=-2))
         idxs.append(idx)
-    d = tn.Tensor(cores, idxs=idxs)
+    if t.batch:
+        idxs = [np.arange(t.shape[0])] + idxs
+    d = tn.Tensor(cores, idxs=idxs, batch=t.batch)
     wm = tn.weight_mask(t.dim(), order, nsymbols=max_order + 1)
     if mask is not None:
         wm = tn.mask(wm, mask)
@@ -67,8 +71,9 @@ def partial(t, dim, order=1, bounds=None, periodic=False):
     silently using mode 0's span for every derivative — fixed here)."""
     if not hasattr(dim, "__len__"):
         dim = [dim]
+    off = 1 if t.batch else 0
     if bounds is None:
-        bounds = [[0, t.shape[d]] for d in dim]
+        bounds = [[0, t.shape[d + off]] for d in dim]
     if not hasattr(bounds[0], "__len__"):
         bounds = [bounds]
     if len(bounds) != len(dim):
@@ -80,7 +85,7 @@ def partial(t, dim, order=1, bounds=None, periodic=False):
 
     t2 = t.clone()
     for i, d in enumerate(dim):
-        step = (bounds[i][1] - bounds[i][0]) / (t.shape[d] + 1) * 2
+        step = (bounds[i][1] - bounds[i][0]) / (t.shape[d + off] + 1) * 2
         for _ in range(1, order + 1):
             if periodic[i]:
                 if t2.Us[d] is None:
@@ -90,9 +95,9 @@ def partial(t, dim, order=1, bounds=None, periodic=False):
                     t2.cores[d] = (c[..., fwd, :] - c[..., bwd, :]) / step
                 else:
                     U = t2.Us[d]
-                    fwd = list(range(1, U.shape[0])) + [0]
-                    bwd = [-1] + list(range(0, U.shape[0] - 1))
-                    t2.Us[d] = (U[fwd, :] - U[bwd, :]) / step
+                    fwd = list(range(1, U.shape[-2])) + [0]
+                    bwd = [-1] + list(range(0, U.shape[-2] - 1))
+                    t2.Us[d] = (U[..., fwd, :] - U[..., bwd, :]) / step
             else:
                 if t2.Us[d] is None:
                     c = t2.cores[d]
@@ -103,20 +108,20 @@ def partial(t, dim, order=1, bounds=None, periodic=False):
                     t2.cores[d] = (c[..., 2:, :] - c[..., :-2, :]) / step
                 else:
                     U = t2.Us[d]
-                    sh = U.shape[0]
-                    U = U[[0] + list(range(sh)) + [sh - 1], :]
-                    U = U.at[0, :].add(-(U[2, :] - U[1, :]))
-                    U = U.at[-1, :].add(U[-2, :] - U[-3, :])
-                    t2.Us[d] = (U[2:, :] - U[:-2, :]) / step
+                    sh = U.shape[-2]
+                    U = U[..., [0] + list(range(sh)) + [sh - 1], :]
+                    U = U.at[..., 0, :].add(-(U[..., 2, :] - U[..., 1, :]))
+                    U = U.at[..., -1, :].add(U[..., -2, :] - U[..., -3, :])
+                    t2.Us[d] = (U[..., 2:, :] - U[..., :-2, :]) / step
     return t2
 
 
 def gradient(t, dim="all", bounds=None):
     """Gradient along one or several modes (reference derivatives.py:133-157;
     the reference's scalar-dim form crashed — iterating the int and passing
-    bounds into `order` — fixed here)."""
-    if t.batch:
-        raise ValueError("Batched tensors are not supported.")
+    bounds into `order` — fixed here). Batch input differentiates every
+    ensemble member at once (beyond-parity)."""
+    off = 1 if t.batch else 0
     if dim == "all":
         dim = range(t.dim())
     scalar = not hasattr(dim, "__len__")
@@ -124,7 +129,7 @@ def gradient(t, dim="all", bounds=None):
         dim = [dim]
     dim = list(dim)
     if bounds is None:
-        bounds = [[0, t.shape[d]] for d in dim]
+        bounds = [[0, t.shape[d + off]] for d in dim]
     if not hasattr(bounds[0], "__len__"):
         bounds = [bounds] * len(dim)
     outs = [partial(t, d, order=1, bounds=[b]) for d, b in zip(dim, bounds)]
@@ -133,53 +138,69 @@ def gradient(t, dim="all", bounds=None):
 
 def active_subspace(t, bounds=None, marginals=None):
     """Main variational directions: eigendecomposition of the gradient Gram
-    matrix (Constantine et al.; reference derivatives.py:160-201)."""
-    if t.batch:
-        raise ValueError("Batched tensors are not supported.")
+    matrix (Constantine et al.; reference derivatives.py:160-201).
+
+    Batch input (beyond-parity) returns per-sample spectra: eigenvalues
+    (B, N) descending and eigenvectors (B, N, N)."""
+    off = 1 if t.batch else 0
+    spatial = list(t.shape[off:])
     dtype = t.cores[0].dtype
     if marginals is None:
-        marginals = [jnp.ones(sh, dtype=dtype) / sh for sh in t.shape]
+        marginals = [jnp.ones(sh, dtype=dtype) / sh for sh in spatial]
     marginals = [asarray(m) for m in marginals]
-    assert all(len(marginals[n]) == t.shape[n] for n in range(t.dim()))
+    assert all(len(marginals[n]) == spatial[n] for n in range(t.dim()))
     cores = []
     for n in range(t.dim()):
         marg = (marginals[n][:-1] + marginals[n][1:]) / 2
         marg = marg / marg.sum()
         marg = jnp.concatenate([marg, jnp.zeros(1, dtype=dtype)])
-        cores.append(marg[None, :, None])
-    pdf = tn.Tensor(cores)
+        core = marg[None, :, None]
+        if t.batch:
+            core = jnp.broadcast_to(core, (t.shape[0],) + core.shape)
+        cores.append(core)
+    pdf = tn.Tensor(cores, batch=t.batch)
 
     grad = gradient(t, dim="all", bounds=bounds)
 
-    M = np.zeros((t.dim(), t.dim()))
-    for i in range(t.dim()):
+    N = t.dim()
+    bshape = (t.shape[0],) if t.batch else ()
+    M = np.zeros(bshape + (N, N))
+    for i in range(N):
         first = grad[i] * pdf
-        for j in range(i, t.dim()):
-            M[i, j] = float(tn.dot(first, grad[j]))
-            M[j, i] = M[i, j]
+        for j in range(i, N):
+            val = np.asarray(tn.dot(first, grad[j]))  # scalar, or (B,) batch
+            M[..., i, j] = val
+            M[..., j, i] = val
 
     w, v = jnp.linalg.eigh(jnp.asarray(M))
-    return w[::-1], v[:, ::-1]
+    return w[..., ::-1], v[..., :, ::-1]
 
 
 def dgsm(t, bounds=None, marginals=None):
     """Derivative-based global sensitivity measures (Kucherenko & Iooss;
-    reference derivatives.py:204-235)."""
+    reference derivatives.py:204-235). Batch input returns (B, N)."""
+    off = 1 if t.batch else 0
+    spatial = list(t.shape[off:])
     dtype = t.cores[0].dtype
     if marginals is None:
-        marginals = [jnp.ones(sh, dtype=dtype) / sh for sh in t.shape]
+        marginals = [jnp.ones(sh, dtype=dtype) / sh for sh in spatial]
     marginals = [asarray(m) for m in marginals]
-    assert all(len(marginals[n]) == t.shape[n] for n in range(t.dim()))
+    assert all(len(marginals[n]) == spatial[n] for n in range(t.dim()))
     cores = []
     for n in range(t.dim()):
         marg = marginals[n] / marginals[n].sum()
-        cores.append(marg[None, :, None])
-    pdf = tn.Tensor(cores)
+        core = marg[None, :, None]
+        if t.batch:
+            core = jnp.broadcast_to(core, (t.shape[0],) + core.shape)
+        cores.append(core)
+    pdf = tn.Tensor(cores, batch=t.batch)
 
     grad = gradient(t, dim="all", bounds=bounds)
-    result = np.zeros(t.dim())
-    for n in range(t.dim()):
-        result[n] = float(tn.dot(grad[n] * pdf, grad[n]))
+    N = t.dim()
+    bshape = (t.shape[0],) if t.batch else ()
+    result = np.zeros(bshape + (N,))
+    for n in range(N):
+        result[..., n] = np.asarray(tn.dot(grad[n] * pdf, grad[n]))
     return jnp.asarray(result)
 
 
