@@ -255,3 +255,78 @@ def test_batch_derivatives_vs_loop():
             np.testing.assert_allclose(
                 pb[b], tn.partial(s1, 0).numpy(), atol=1e-7
             )
+
+
+def test_batch_dense_metric_mixing():
+    """dist/relative_error/rmse/r_squared/dot between a batch Tensor and
+    dense data return per-sample (B,) values (the reference's _process
+    rejects batch, metrics.py:18-23). The dense side may be (B, ...) or a
+    single unbatched array broadcast across the ensemble."""
+    rng = np.random.RandomState(17)
+    B, shape = 3, (5, 6, 4)
+    xb = rng.standard_normal((B,) + shape)
+    yb = xb + 0.1 * rng.standard_normal((B,) + shape)
+    tb = tn.Tensor(jnp.asarray(xb), batch=True)
+
+    for fn, oracle in [
+        (tn.dist, lambda a, b: np.linalg.norm((a - b).reshape(B, -1), axis=-1)),
+        (tn.relative_error, lambda a, b: np.linalg.norm((a - b).reshape(B, -1), axis=-1)
+         / np.linalg.norm(a.reshape(B, -1), axis=-1)),
+        (tn.rmse, lambda a, b: np.linalg.norm((a - b).reshape(B, -1), axis=-1)
+         / np.sqrt(np.prod(shape))),
+    ]:
+        out = np.asarray(fn(tb, yb))
+        assert out.shape == (B,)
+        np.testing.assert_allclose(out, oracle(xb, yb), atol=1e-9)
+
+    # relative_error with args swapped (dense gt, batch approx)
+    out = np.asarray(tn.relative_error(yb, tb))
+    np.testing.assert_allclose(
+        out,
+        np.linalg.norm((yb - xb).reshape(B, -1), axis=-1)
+        / np.linalg.norm(yb.reshape(B, -1), axis=-1),
+        atol=1e-9,
+    )
+
+    # r_squared per sample
+    r2 = np.asarray(tn.r_squared(tb, yb))
+    for b in range(B):
+        d = np.linalg.norm(xb[b] - yb[b])
+        dm = np.linalg.norm(xb[b] - xb[b].mean())
+        np.testing.assert_allclose(r2[b], 1 - d**2 / dm**2, atol=1e-9)
+
+    # dot vs dense and a single broadcast dense side
+    out = np.asarray(tn.dot(tb, yb))
+    np.testing.assert_allclose(
+        out, (xb.reshape(B, -1) * yb.reshape(B, -1)).sum(-1), atol=1e-8
+    )
+    single = rng.standard_normal(shape)
+    out1 = np.asarray(tn.dist(tb, single))
+    np.testing.assert_allclose(
+        out1, np.linalg.norm((xb - single).reshape(B, -1), axis=-1), atol=1e-9
+    )
+
+    # non-batch behavior unchanged (scalar returns)
+    t0 = tn.Tensor(jnp.asarray(xb[0]))
+    assert np.ndim(np.asarray(tn.dist(t0, yb[0]))) == 0
+    assert np.ndim(np.asarray(tn.r_squared(t0, yb[0]))) == 0
+
+
+def test_batch_hadamard_sum_exact():
+    """Exact hadamard_sum of batch tensors: vmapped contraction, per-sample
+    (B,) values matching the non-batch path and the dense oracle."""
+    rng = np.random.RandomState(23)
+    B, shape, K = 2, (5, 4, 6), 3
+    denses = [rng.standard_normal((B,) + shape) for _ in range(K)]
+    ts = [tn.Tensor(jnp.asarray(d), batch=True) for d in denses]
+    out = np.asarray(tn.hadamard_sum(ts))
+    assert out.shape == (B,)
+    prod = np.ones((B,) + shape)
+    for d in denses:
+        prod = prod * d
+    np.testing.assert_allclose(out, prod.reshape(B, -1).sum(-1), rtol=1e-9)
+    for b in range(B):
+        single = float(tn.hadamard_sum([tn.Tensor(jnp.asarray(d[b])) for d in denses]))
+        np.testing.assert_allclose(out[b], single, rtol=1e-10)
+    with pytest.raises(ValueError, match="exact"):
+        tn.hadamard_sum(ts, algorithm="eig", eps=1e-10)

@@ -16,24 +16,34 @@ from tntorch_tpu.utils import asarray, matmul_precision
 
 
 def _process(gt, approx):
-    """Decompress if exactly one side is compressed (reference metrics.py:7-25)."""
+    """Decompress if exactly one side is compressed (reference metrics.py:7-25).
+
+    Beyond-parity: a batch-Tensor side decompresses to (B, ...) dense and
+    flags batch=True, so the dense fallbacks in the callers reduce PER
+    SAMPLE and return (B,) (the reference rejects batch here,
+    metrics.py:18-23). The other dense side may be (B, ...) or unbatched
+    (broadcast across the ensemble)."""
     is1 = isinstance(gt, tn.Tensor)
     is2 = isinstance(approx, tn.Tensor)
     if is1 and is2:
-        return gt, approx
+        return gt, approx, False  # compressed-compressed: dot is batch-native
+    batch = (is1 and gt.batch) or (is2 and approx.batch)
     if is1:
-        if gt.batch:
-            raise ValueError("Batched tensors are not supported.")
         gt = gt.full()
     if is2:
-        if approx.batch:
-            raise ValueError("Batched tensors are not supported.")
         approx = approx.full()
     if not is1:
         gt = asarray(gt)
     if not is2:
         approx = asarray(approx)
-    return gt, approx
+    if batch:
+        gt, approx = jnp.broadcast_arrays(gt, approx)
+    return gt, approx, batch
+
+
+def _flat(x, batch):
+    """Flatten for dense reductions: fully, or per-sample to (B, -1)."""
+    return x.reshape(x.shape[0], -1) if batch else x.reshape(-1)
 
 
 def dot(t1, t2, k=None):
@@ -47,9 +57,9 @@ def dot(t1, t2, k=None):
 
 
 def _dot_impl(t1, t2, k=None):
-    t1, t2 = _process(t1, t2)
+    t1, t2, dbatch = _process(t1, t2)
     if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
-        return jnp.dot(t1.reshape(-1), t2.reshape(-1))
+        return jnp.sum(_flat(t1, dbatch) * _flat(t2, dbatch), axis=-1)
 
     # Batch layout adds a leading B axis to every core/factor; the ellipsis
     # einsums below serve both layouts with one code path (the reference has
@@ -145,10 +155,11 @@ def _normsq_hermitian(t):
 
 
 def dist(t1, t2):
-    """Euclidean distance in compressed form (reference metrics.py:119-132)."""
-    t1, t2 = _process(t1, t2)
+    """Euclidean distance in compressed form (reference metrics.py:119-132).
+    Batch input (either a batch Tensor or (B, ...) dense) returns (B,)."""
+    t1, t2, dbatch = _process(t1, t2)
     if not isinstance(t1, tn.Tensor) and not isinstance(t2, tn.Tensor):
-        return jnp.linalg.norm((t1 - t2).reshape(-1))
+        return jnp.linalg.norm(_flat(t1 - t2, dbatch), axis=-1)
     if _is_complex(t1) or _is_complex(t2):
         cross = dot(_conj(t1), t2).real
         return jnp.sqrt(
@@ -158,10 +169,13 @@ def dist(t1, t2):
 
 
 def relative_error(gt, approx):
-    """||gt - approx|| / ||gt|| fully in compressed form (reference metrics.py:135-151)."""
-    gt, approx = _process(gt, approx)
+    """||gt - approx|| / ||gt|| fully in compressed form (reference
+    metrics.py:135-151). Batch input returns per-sample errors (B,)."""
+    gt, approx, dbatch = _process(gt, approx)
     if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
-        return jnp.linalg.norm((gt - approx).reshape(-1)) / jnp.linalg.norm(gt.reshape(-1))
+        return jnp.linalg.norm(_flat(gt - approx, dbatch), axis=-1) / jnp.linalg.norm(
+            _flat(gt, dbatch), axis=-1
+        )
     if _is_complex(gt) or _is_complex(approx):
         return dist(gt, approx) / jnp.sqrt(_normsq_hermitian(gt))
     dotgt = dot(gt, gt)
@@ -171,19 +185,22 @@ def relative_error(gt, approx):
 
 
 def rmse(gt, approx):
-    """Root-mean-square error (reference metrics.py:154-167)."""
-    gt, approx = _process(gt, approx)
+    """Root-mean-square error (reference metrics.py:154-167); (B,) for batch."""
+    gt, approx, dbatch = _process(gt, approx)
     if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
-        return jnp.linalg.norm((gt - approx).reshape(-1)) / np.sqrt(gt.size)
-    return dist(gt, approx) / np.sqrt(gt.numel())
+        n = gt.size / gt.shape[0] if dbatch else gt.size
+        return jnp.linalg.norm(_flat(gt - approx, dbatch), axis=-1) / np.sqrt(n)
+    n = gt.numel() / (gt.shape[0] if gt.batch else 1)
+    return dist(gt, approx) / np.sqrt(n)
 
 
 def r_squared(gt, approx):
-    """R^2 score (reference metrics.py:170-183)."""
-    gt, approx = _process(gt, approx)
+    """R^2 score (reference metrics.py:170-183); per-sample (B,) for batch."""
+    gt, approx, dbatch = _process(gt, approx)
     if not isinstance(gt, tn.Tensor) and not isinstance(approx, tn.Tensor):
-        d = jnp.linalg.norm((gt - approx).reshape(-1))
-        dm = jnp.linalg.norm((gt - jnp.mean(gt)).reshape(-1))
+        gf, af = _flat(gt, dbatch), _flat(approx, dbatch)
+        d = jnp.linalg.norm(gf - af, axis=-1)
+        dm = jnp.linalg.norm(gf - jnp.mean(gf, axis=-1, keepdims=True), axis=-1)
         return 1 - d**2 / dm**2
     return 1 - dist(gt, approx) ** 2 / normsq(gt - mean(gt))
 
@@ -333,19 +350,29 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
             for m in range(M)
         ]
 
+    batch = ts[0].batch
+    if any(t.batch != batch for t in ts):
+        raise ValueError("Cannot mix batch and non-batch tensors in hadamard_sum")
     assert all(ts[0].shape == ts[i].shape for i in range(1, len(ts)))
     tstt = []
     for m in range(M):
-        if ts[m].batch:
-            raise ValueError("Batched tensors are not supported.")
+        if ts[m].batch and algorithm != "exact":
+            raise ValueError(
+                "Batched tensors are only supported with algorithm='exact'"
+            )
         t = ts[m].decompress_tucker_factors()
         t._cp_to_tt()
         tstt.append(t)
     ts = tstt
 
     if algorithm == "exact":
+        nested = tuple(tuple(t.cores) for t in ts)
         with jax.default_matmul_precision(matmul_precision()):
-            return _hadamard_sum_exact(ts)
+            if batch:
+                # vmap the whole contraction over the batch axis of every
+                # core: per-sample Hadamard-dot values, one XLA program
+                return jax.vmap(_hadamard_sum_exact)(nested)
+            return _hadamard_sum_exact(nested)
 
     N = ts[0].dim()
     thiscores = get_tensor([t.cores[0] for t in ts])
@@ -367,12 +394,15 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
             return tn.Tensor(thiscores).full().reshape(())
 
 
-def _hadamard_sum_exact(ts):
-    K = len(ts)
-    N = ts[0].dim()
-    core = jnp.ones([1] * K, dtype=ts[0].cores[0].dtype)
+def _hadamard_sum_exact(core_lists):
+    """Exact K-tensor Hadamard-dot on pure-TT core tuples (one 3-D core per
+    mode per tensor). Takes plain arrays (not Tensor objects) so the batch
+    path can jax.vmap it over a leading axis on every core."""
+    K = len(core_lists)
+    N = len(core_lists[0])
+    core = jnp.ones([1] * K, dtype=core_lists[0][0].dtype)
     for n in range(N):
-        B = ts[0].shape[n]
+        B = core_lists[0][n].shape[1]
         core = jnp.tile(core[None], [B] + [1] * K)
         for i in range(K):
             neworder = [0, *list(np.delete(np.arange(1, K + 1), i)), i + 1]
@@ -380,8 +410,8 @@ def _hadamard_sum_exact(ts):
             unfolded = jnp.transpose(core, neworder)
             shape = list(unfolded.shape)
             unfolded = unfolded.reshape(B, -1, core.shape[i + 1])
-            unfolded = jnp.matmul(unfolded, jnp.transpose(ts[i].cores[n], (1, 0, 2)))
-            shape[-1] = ts[i].cores[n].shape[2]
+            unfolded = jnp.matmul(unfolded, jnp.transpose(core_lists[i][n], (1, 0, 2)))
+            shape[-1] = core_lists[i][n].shape[2]
             unfolded = unfolded.reshape(shape)
             core = jnp.transpose(unfolded, undo)
         core = jnp.sum(core, axis=0)
