@@ -330,3 +330,47 @@ def test_batch_hadamard_sum_exact():
         np.testing.assert_allclose(out[b], single, rtol=1e-10)
     with pytest.raises(ValueError, match="exact"):
         tn.hadamard_sum(ts, algorithm="eig", eps=1e-10)
+
+
+def test_batch_elementwise_via_cross():
+    """Elementwise ops on batch tensors (exp, reciprocal via /, **) run
+    per-sample crosses and stack at zero-padded common ranks (the reference
+    rejects batch in cross, cross.py:256-258)."""
+    rng = np.random.RandomState(29)
+    B, shape = 2, (6, 6, 6)
+    xb = 1.0 + 0.5 * rng.rand(B, *shape)  # positive, away from 0
+    tb = tn.Tensor(jnp.asarray(xb), batch=True)
+
+    e = tn.exp(tb, eps=1e-9)
+    assert e.batch
+    np.testing.assert_allclose(np.asarray(e.numpy()), np.exp(xb), rtol=1e-6)
+
+    r = 1.0 / tb
+    np.testing.assert_allclose(np.asarray(r.numpy()), 1.0 / xb, rtol=1e-6)
+
+    p = tb ** 2
+    np.testing.assert_allclose(np.asarray(p.numpy()), xb ** 2, rtol=1e-6)
+
+    # per-sample parity with the non-batch path
+    e0 = tn.exp(tn.Tensor(jnp.asarray(xb[0])), eps=1e-9)
+    np.testing.assert_allclose(np.asarray(e.numpy())[0], np.asarray(e0.numpy()), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="info"):
+        tn.cross(function=jnp.exp, tensors=[tb], return_info=True, verbose=False)
+
+
+def test_batch_skew_kurtosis():
+    """skew/kurtosis ride cross-based powers, so the batch cross lift makes
+    them per-sample too."""
+    from scipy import stats
+
+    rng = np.random.RandomState(33)
+    xb = 1.0 + 0.5 * rng.rand(2, 6, 6, 6)
+    tb = tn.Tensor(jnp.asarray(xb), batch=True)
+    s = np.asarray(tn.skew(tb))
+    k = np.asarray(tn.kurtosis(tb))
+    for b in range(2):
+        np.testing.assert_allclose(s[b], stats.skew(xb[b].ravel()), rtol=1e-5)
+        np.testing.assert_allclose(
+            k[b], stats.kurtosis(xb[b].ravel(), fisher=True), rtol=1e-4, atol=1e-8
+        )

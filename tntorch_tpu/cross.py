@@ -548,9 +548,66 @@ def cross(
         tensors = tn.meshgrid(domain)
     if not hasattr(tensors, "__len__"):
         tensors = [tensors]
-    for t in tensors:
-        if t.batch:
-            raise ValueError("Batched tensors are not supported.")
+    if any(t.batch for t in tensors):
+        # Batch input (beyond-parity; the reference rejects it,
+        # cross.py:256-258): adaptive pivot sets are data-dependent per
+        # sample, so samples run as independent crosses and the results
+        # stack at zero-padded common ranks. This makes the whole
+        # cross-based elementwise family (exp, /, **, cumprod, ...) work
+        # on ensembles.
+        if not all(t.batch for t in tensors):
+            raise ValueError("Cannot mix batch and non-batch tensors in cross")
+        if return_info or record_samples or _minimize:
+            raise ValueError(
+                "Batched cross does not support return_info/record_samples/"
+                "minimize; loop over the samples for per-sample pivots/info"
+            )
+        B = tensors[0].cores[0].shape[0]
+        outs = []
+        for b in range(B):
+            sample_tensors = []
+            for t in tensors:
+                cs = [c[b] for c in t.cores]
+                us = [None if U is None else U[b] for U in t.Us]
+                sample_tensors.append(tn.Tensor(cs, Us=us, batch=False))
+            outs.append(
+                cross(
+                    function=function,
+                    tensors=sample_tensors,
+                    function_arg=function_arg,
+                    ranks_tt=ranks_tt,
+                    kickrank=kickrank,
+                    rmax=rmax,
+                    eps=eps,
+                    max_iter=max_iter,
+                    val_size=val_size,
+                    verbose=verbose,
+                    device=device,
+                    suppress_warnings=suppress_warnings,
+                    detach_evaluations=detach_evaluations,
+                    seed=None if seed is None else seed + b,
+                    mesh=mesh,
+                    fuse=fuse,
+                )
+            )
+        # Stack at common zero-padded ranks
+        N = outs[0].dim()
+        redges = [
+            [int(r) for r in t.ranks_tt] for t in outs
+        ]  # each: N+1 entries
+        rmaxs = [max(re[k] for re in redges) for k in range(N + 1)]
+        bcores = []
+        for n in range(N):
+            padded = [
+                jnp.pad(
+                    t.cores[n],
+                    ((0, rmaxs[n] - t.cores[n].shape[0]), (0, 0),
+                     (0, rmaxs[n + 1] - t.cores[n].shape[2])),
+                )
+                for t in outs
+            ]
+            bcores.append(jnp.stack(padded, axis=0))
+        return tn.Tensor(bcores, batch=True)
     tensors = [t.decompress_tucker_factors(_clone=False) for t in tensors]
     Is = list(tensors[0].shape)
     N = len(Is)
