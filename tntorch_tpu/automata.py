@@ -83,7 +83,19 @@ def accepted_inputs(t):
     s appears t[s] times (reference automata.py:84-128). Host-side DFS with
     precomputed right-product chains."""
     if t.batch:
-        raise ValueError("Batched tensors are not supported.")
+        # Beyond-parity (the reference rejects batch here, automata.py:92-93):
+        # accepted-string counts differ per sample, so the result is a list of
+        # (total_b, N) index arrays, one per batch member.
+        return [
+            accepted_inputs(
+                tn.Tensor(
+                    [c[b] for c in t.cores],
+                    Us=[None if U is None else U[b] for U in t.Us],
+                    batch=False,
+                )
+            )
+            for b in range(t.cores[0].shape[0])
+        ]
 
     cores = [np.asarray(c) for c in t.decompress_tucker_factors().cores]
     N = len(cores)
