@@ -48,6 +48,23 @@ def main():
     dd = np.asarray(tn.dimension_distribution(t))
     print("dimension distribution (member 0):", np.round(dd[0], 4))
 
+    # --- Build an ensemble from already-compressed members: tn.stack
+    # zero-pads heterogeneous per-sample ranks to a common batch tensor ---
+    members = [
+        tn.rand([I] * N, ranks_tt=r, key=jax.random.key(100 + r)) for r in (2, 3, 5)
+    ]
+    small = tn.stack(members)
+    print("stacked ensemble:", small.shape, "ranks", list(small.ranks_tt))
+    print(
+        "per-member values preserved:",
+        all(
+            # dist of near-identical tensors is cancellation-limited, so
+            # compare relative to the member's norm
+            float(tn.relative_error(members[b], small[b])) < 1e-7
+            for b in range(len(members))
+        ),
+    )
+
     # --- Ensemble arithmetic with per-sample scalars ---
     centered = t - tn.mean(t)  # subtracts each member's own mean
     print("centered means ~0:", np.abs(np.asarray(tn.mean(centered))).max() < 1e-10)

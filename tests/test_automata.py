@@ -63,23 +63,8 @@ def test_accepted_inputs():
 def test_accepted_inputs_batch():
     """Batch tensors return one (total_b, N) index array per sample
     (beyond-parity; the reference rejects batch, automata.py:92-93)."""
-    import jax.numpy as jnp
-
     singles = [tn.weight_mask(4, 1), tn.weight_mask(4, 2)]
-    rmax = [max(int(a.cores[n].shape[0]) for a in singles) for n in range(4)]
-    rmax.append(max(int(a.cores[-1].shape[2]) for a in singles))
-    bcores = []
-    for n in range(4):
-        padded = [
-            jnp.pad(
-                a.cores[n],
-                ((0, rmax[n] - a.cores[n].shape[0]), (0, 0),
-                 (0, rmax[n + 1] - a.cores[n].shape[2])),
-            )
-            for a in singles
-        ]
-        bcores.append(jnp.stack(padded, axis=0))
-    tb = tn.Tensor(bcores, batch=True)
+    tb = tn.stack(singles)
     out = tn.accepted_inputs(tb)
     assert isinstance(out, list) and len(out) == 2
     for b, single in enumerate(singles):

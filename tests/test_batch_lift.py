@@ -328,8 +328,9 @@ def test_batch_hadamard_sum_exact():
     for b in range(B):
         single = float(tn.hadamard_sum([tn.Tensor(jnp.asarray(d[b])) for d in denses]))
         np.testing.assert_allclose(out[b], single, rtol=1e-10)
-    with pytest.raises(ValueError, match="exact"):
-        tn.hadamard_sum(ts, algorithm="eig", eps=1e-10)
+    # MRF mode is also batch-lifted (per-sample passes); same values
+    mrf = np.asarray(tn.hadamard_sum(ts, algorithm="eig", eps=1e-12))
+    np.testing.assert_allclose(mrf, out, rtol=1e-8)
 
 
 def test_batch_elementwise_via_cross():
@@ -374,3 +375,74 @@ def test_batch_skew_kurtosis():
         np.testing.assert_allclose(
             k[b], stats.kurtosis(xb[b].ravel(), fisher=True), rtol=1e-4, atol=1e-8
         )
+
+
+def test_batch_raw_and_normalized_moments_vs_loop():
+    """Regression: raw_moment divided batched hadamard_sum by t.numel()
+    (which includes B), so batch moments were wrong by a factor 1/B."""
+    t, dense = _batch_and_dense(B=3, shape=(4, 4, 4), seed=5)
+    for k in (2, 3):
+        rm = np.asarray(tn.raw_moment(t, k, algorithm="exact"))
+        nm = np.asarray(tn.normalized_moment(t, k, algorithm="exact", eps=1e-12))
+        assert rm.shape == (3,)
+        for b in range(3):
+            tb = tn.Tensor(dense[b])
+            assert abs(rm[b] - float(tn.raw_moment(tb, k, algorithm="exact"))) < 1e-8
+            assert (
+                abs(nm[b] - float(tn.normalized_moment(tb, k, algorithm="exact", eps=1e-12)))
+                < 1e-7
+            )
+
+
+def test_batch_raw_moment_marginals_vs_loop():
+    t, dense = _batch_and_dense(B=2, shape=(4, 4, 4), seed=6)
+    marg = [np.random.rand(4) + 0.1 for _ in range(3)]
+    rm = np.asarray(tn.raw_moment(t, 2, marginals=marg, algorithm="exact"))
+    for b in range(2):
+        tb = tn.Tensor(dense[b])
+        ref = float(tn.raw_moment(tb, 2, marginals=marg, algorithm="exact"))
+        assert abs(rm[b] - ref) < 1e-8
+
+
+def test_cross_batch_size_mismatch_raises():
+    """Regression: mismatched batch sizes silently clamped to the last
+    sample through JAX out-of-bounds indexing."""
+    t1 = tn.rand((3, 4, 4), ranks_tt=2, batch=True, key=jax.random.key(0))
+    t2 = tn.rand((2, 4, 4), ranks_tt=2, batch=True, key=jax.random.key(1))
+    with pytest.raises(ValueError, match="Batch sizes differ"):
+        tn.cross(function=lambda a, b: a * b, tensors=[t1, t2])
+
+
+def test_stack_public_api():
+    singles = [
+        tn.rand((4, 5), ranks_tt=2, key=jax.random.key(0)),
+        tn.rand((4, 5), ranks_tt=3, key=jax.random.key(1)),  # heterogeneous ranks
+    ]
+    tb = tn.stack(singles)
+    assert tb.batch and tb.shape[0] == 2
+    for b, s in enumerate(singles):
+        np.testing.assert_allclose(np.asarray(tb.numpy())[b], np.asarray(s.numpy()), rtol=1e-10)
+    with pytest.raises(ValueError, match="equal shapes"):
+        tn.stack([singles[0], tn.rand((4, 6), ranks_tt=2, key=jax.random.key(2))])
+    with pytest.raises(ValueError, match="non-batch"):
+        tn.stack([tb])
+
+
+def test_batch_mask_tensor_index_rejected():
+    t = tn.rand((2, 2, 2, 2), ranks_tt=2, batch=True, key=jax.random.key(0))
+    mask = tn.stack([tn.weight_mask(4, 1), tn.weight_mask(4, 2)])
+    with pytest.raises(ValueError, match="Batch mask"):
+        t[mask]
+
+
+def test_batch_hadamard_sum_mrf_vs_loop():
+    """MRF-mode hadamard_sum on batch tensors: per-sample loop lift."""
+    t, dense = _batch_and_dense(B=2, shape=(4, 4, 4), seed=9)
+    got = np.asarray(tn.hadamard_sum([t, t, t], algorithm="eig", eps=1e-12))
+    assert got.shape == (2,)
+    for b in range(2):
+        tb = tn.Tensor(dense[b])
+        ref = float(tn.hadamard_sum([tb, tb, tb], algorithm="eig", eps=1e-12))
+        assert abs(got[b] - ref) < 1e-8 * max(abs(ref), 1.0)
+    exact = np.asarray(tn.hadamard_sum([t, t, t], algorithm="exact"))
+    np.testing.assert_allclose(got, exact, rtol=1e-8)

@@ -12,7 +12,6 @@ two changes:
 
 from __future__ import annotations
 
-import logging
 import time
 from functools import partial
 from typing import Optional
@@ -22,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.utils import asarray, default_dtype, to_numpy
+from tntorch_tpu.utils import asarray, default_dtype, logger, to_numpy
 
 
 @jax.jit
@@ -262,7 +261,7 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None):
     curshape = shape.copy()
     for n in range(1, N):
         if curshape[0] > 8192:
-            logging.warning(
+            logger.warning(
                 "sparse_tt_svd: unfolding has %d rows (eigh of that size); "
                 "the algorithm fits the zero-filled tensor, which is "
                 "near full-rank for scattered data — pass rmax= to bound "

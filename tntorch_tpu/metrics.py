@@ -303,9 +303,18 @@ def kurtosis(t, fisher=True):
 def raw_moment(t, k, marginals=None, eps=1e-6, algorithm="eig"):
     """E[t^k] via Hadamard-dot (reference metrics.py:303-319)."""
     if marginals is not None:
-        pdf = tn.Tensor([asarray(m)[None, :, None] / jnp.sum(asarray(m)) for m in marginals])
+        pdfcores = []
+        for m in marginals:
+            m = asarray(m)
+            w = m / jnp.sum(m, axis=-1, keepdims=True)
+            pdfcores.append(w[..., None, :, None])
+        if t.batch:
+            B = t.shape[0]
+            pdfcores = [jnp.broadcast_to(c, (B,) + c.shape[-3:]) for c in pdfcores]
+        pdf = tn.Tensor(pdfcores, batch=t.batch)
         return hadamard_sum([t] * (k - 1) + [t * pdf], eps=eps, algorithm=algorithm)
-    return hadamard_sum([t] * k, eps=eps, algorithm=algorithm) / t.numel()
+    n = t.numel() / (t.shape[0] if t.batch else 1)  # per-sample element count
+    return hadamard_sum([t] * k, eps=eps, algorithm=algorithm) / n
 
 
 def normalized_moment(t, k, marginals=None, eps=1e-12, algorithm="eig"):
@@ -354,12 +363,32 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
     if any(t.batch != batch for t in ts):
         raise ValueError("Cannot mix batch and non-batch tensors in hadamard_sum")
     assert all(ts[0].shape == ts[i].shape for i in range(1, len(ts)))
+    if batch and algorithm != "exact":
+        # The MRF algorithm rounds adaptively per mode (data-dependent
+        # ranks), so samples run independently — same lift as batched cross.
+        B = ts[0].cores[0].shape[0]
+        for t in ts[1:]:
+            if t.cores[0].shape[0] != B:
+                raise ValueError(
+                    f"Batch sizes differ in hadamard_sum: {B} vs {t.cores[0].shape[0]}"
+                )
+        vals = [
+            hadamard_sum(
+                [
+                    tn.Tensor(
+                        [c[b] for c in t.cores],
+                        Us=[None if U is None else U[b] for U in t.Us],
+                    )
+                    for t in ts
+                ],
+                algorithm=algorithm,
+                eps=eps,
+            )
+            for b in range(B)
+        ]
+        return jnp.stack([jnp.asarray(v) for v in vals])
     tstt = []
     for m in range(M):
-        if ts[m].batch and algorithm != "exact":
-            raise ValueError(
-                "Batched tensors are only supported with algorithm='exact'"
-            )
         t = ts[m].decompress_tucker_factors()
         t._cp_to_tt()
         tstt.append(t)

@@ -127,9 +127,9 @@ def _warn_f32_gram_once():
     global _f32_gram_warned
     if not _f32_gram_warned:
         _f32_gram_warned = True
-        import logging
+        from tntorch_tpu.utils import logger
 
-        logging.warning(
+        logger.warning(
             "round_tt(algorithm='gram'/'randgram') on float32 cores: the "
             "Gram method squares the condition number, so rank-deficient "
             "input (e.g. rounding t+t) carries a ~1e-3 relative error "
@@ -807,6 +807,11 @@ class Tensor:
 
     def _getitem_impl(self, key):
         if isinstance(key, Tensor):
+            if key.batch:
+                raise ValueError(
+                    "Batch mask Tensors are not supported as indices; "
+                    "index with one sample, e.g. t[mask_sample]"
+                )
             if abs(float(tn.sum(key)) - 1) > 1e-8:
                 raise ValueError(
                     "When indexing via a mask tensor, that mask should have exactly 1 accepting string"

@@ -164,6 +164,42 @@ def unbind(t, dim):
     ]
 
 
+def stack(ts):
+    """Stack non-batch tensors of equal shape into one batch Tensor.
+
+    Beyond-parity ensemble constructor (the reference has no counterpart):
+    each sample is converted to plain TT form and the samples are stacked
+    along a new leading batch axis at zero-padded common ranks, so
+    ensembles with heterogeneous per-sample ranks are fine.  The inverse
+    (batch -> list of samples) is ``[t[b] for b in range(B)]``.
+    """
+    ts = list(ts)
+    if not ts:
+        raise ValueError("stack expects at least one tensor")
+    if any(t.batch for t in ts):
+        raise ValueError("stack expects non-batch tensors (already-batched input)")
+    shape = tuple(ts[0].shape)
+    for t in ts[1:]:
+        if tuple(t.shape) != shape:
+            raise ValueError(f"stack expects equal shapes, got {tuple(t.shape)} vs {shape}")
+    ts = [t.tt() for t in ts]
+    N = len(shape)
+    redges = [[int(r) for r in t.ranks_tt] for t in ts]  # each: N+1 entries
+    rmaxs = [max(re[k] for re in redges) for k in range(N + 1)]
+    bcores = []
+    for n in range(N):
+        padded = [
+            jnp.pad(
+                t.cores[n],
+                ((0, rmaxs[n] - t.cores[n].shape[0]), (0, 0),
+                 (0, rmaxs[n + 1] - t.cores[n].shape[2])),
+            )
+            for t in ts
+        ]
+        bcores.append(jnp.stack(padded, axis=0))
+    return tn.Tensor(bcores, batch=True)
+
+
 def unfolding(data, n, batch: bool = False):
     """n-th mode unfolding of a dense array (reference tools.py:211-228)."""
     data = asarray(data)
