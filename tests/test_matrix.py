@@ -54,3 +54,24 @@ def test_kron_ops():
     assert np.linalg.norm(ttk.inv().numpy() - np.linalg.inv(K)) <= 1e-10
     L = ttk.cholesky().numpy()
     assert np.linalg.norm(L @ L.T - K) <= 1e-10
+
+
+def test_matrix_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((16, 16))
+    tm = tn.TTMatrix(M, ranks=[16], input_dims=[4, 4], output_dims=[4, 4])
+    p = str(tmp_path / "tm.npz")
+    tn.save_matrix(tm, p)
+    tm2 = tn.load_matrix(p)
+    np.testing.assert_allclose(np.asarray(tm2.numpy()), np.asarray(tm.numpy()), rtol=1e-12)
+    assert list(tm2.input_dims) == [4, 4] and list(tm2.output_dims) == [4, 4]
+
+    cm = tn.CPMatrix(M, rank=8, input_dims=[4, 4], output_dims=[4, 4])
+    p2 = str(tmp_path / "cm.npz")
+    tn.save_matrix(cm, p2)
+    cm2 = tn.load_matrix(p2)
+    np.testing.assert_allclose(np.asarray(cm2.numpy()), np.asarray(cm.numpy()), rtol=1e-12)
+    v = rng.standard_normal((2, 16))
+    np.testing.assert_allclose(
+        np.asarray(tn.cp_multiply(cm2, v)), np.asarray(tn.cp_multiply(cm, v)), rtol=1e-12
+    )

@@ -43,6 +43,7 @@ from tntorch_tpu.ops.pallas_tt import tt_eval
 from tntorch_tpu.ops.rounding import round_tt_fixed, round_tt_gram, tt_full, tt_dot
 from tntorch_tpu.serialization import (
     save, load, save_orbax, load_orbax, save_orbax_sharded, load_orbax_sharded,
+    save_matrix, load_matrix,
 )
 
 __version__ = "0.1.0"

@@ -241,3 +241,48 @@ def load(path):
     t = tn.Tensor(cores, Us=Us, idxs=idxs, batch=meta["batch"])
     t.frozen_Us = set(meta.get("frozen_Us", ()))
     return t
+
+
+def save_matrix(m, path):
+    """Serialize a TTMatrix or CPMatrix operator to .npz (same container
+    format as `save`; the reference has no matrix serialization at all)."""
+    from tntorch_tpu.models.matrix import CPMatrix, TTMatrix
+
+    if isinstance(m, TTMatrix):
+        kind = "tt"
+    elif isinstance(m, CPMatrix):
+        kind = "cp"
+    else:
+        raise TypeError(f"save_matrix expects TTMatrix or CPMatrix, got {type(m)}")
+    meta = {
+        "kind": kind,
+        "input_dims": [int(d) for d in m.input_dims],
+        "output_dims": [int(d) for d in m.output_dims],
+        "version": 1,
+    }
+    if kind == "cp":
+        meta["rank"] = int(m.rank)
+        meta["batch_size"] = int(getattr(m, "batch_size", 1))
+    arrays = {f"core_{n}": np.asarray(c) for n, c in enumerate(m.cores)}
+    arrays["n_cores"] = np.asarray(len(m.cores))
+    arrays["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_matrix(path):
+    """Load a TTMatrix/CPMatrix previously stored with `save_matrix`."""
+    from tntorch_tpu.models.matrix import CPMatrix, TTMatrix
+
+    data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz")
+    meta = json.loads(bytes(data["meta"]).decode())
+    cores = [jnp.asarray(data[f"core_{n}"]) for n in range(int(data["n_cores"]))]
+    if meta["kind"] == "tt":
+        return TTMatrix(cores, None, meta["input_dims"], meta["output_dims"])
+    m = CPMatrix.__new__(CPMatrix)
+    m.rank = meta["rank"]
+    m.input_dims = np.asarray(meta["input_dims"])
+    m.output_dims = np.asarray(meta["output_dims"])
+    m.batch_size = meta.get("batch_size", 1)
+    m.d = len(meta["input_dims"])
+    m.cores = cores
+    return m
