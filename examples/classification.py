@@ -66,6 +66,24 @@ def main():
     pred = np.asarray(jnp.argmax(t[X_test].full(), axis=-1))
     print("test accuracy:", float((pred == y_test).mean()))
 
+    # --- Same workflow, encapsulated: tn.TTClassifier (the reference
+    # TODO.md's "Classifier()" item). Works on the raw continuous features;
+    # discretization, the logit tensor, and the training loop are internal.
+    Xc = np.concatenate([c0, c1], axis=0)[idx]  # raw features, same row order
+    yc = y  # already permuted above
+    clf = tn.TTClassifier(nticks=nticks, ranks_tt=10, ranks_tucker=6,
+                          max_iter=3000, verbose=False, key=jax.random.key(0))
+    clf.fit(Xc[:ntrain], yc[:ntrain])
+    print("TTClassifier test accuracy:", clf.score(Xc[ntrain:], yc[ntrain:]))
+
+    # Bagged ensemble: 4 members trained in ONE jitted dispatch stream
+    # (a batch=True tensor), probabilities averaged at predict time
+    ens = tn.TTClassifier(nticks=nticks, ranks_tt=10, ranks_tucker=6,
+                          max_iter=3000, n_estimators=4, verbose=False,
+                          key=jax.random.key(1))
+    ens.fit(Xc[:ntrain], yc[:ntrain])
+    print("TTClassifier x4 ensemble test accuracy:", ens.score(Xc[ntrain:], yc[ntrain:]))
+
 
 if __name__ == "__main__":
     main()

@@ -37,6 +37,7 @@ from tntorch_tpu.interpolation import (
     indices2features, empirical_marginals, gram_schmidt, lars_path, PCEInterpolator,
 )
 from tntorch_tpu.models import TTMatrix, CPMatrix, tt_multiply, cp_multiply
+from tntorch_tpu.models import TTRegressor, TTClassifier
 from tntorch_tpu.models import matrix
 from tntorch_tpu import parallel
 from tntorch_tpu.ops.pallas_tt import tt_eval
