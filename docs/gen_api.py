@@ -8,6 +8,7 @@ public symbol, grouped by module, signature + first docstring line.
 
 import inspect
 import os
+import re
 
 import jax
 
@@ -37,6 +38,12 @@ SECTIONS = [
 ]
 
 
+def _clean_sig(sig):
+    """Default-value reprs of callables embed memory addresses; strip them
+    so regeneration is reproducible."""
+    return re.sub(r"<function (<?\w+>?)[^>]*>", r"\1", sig)
+
+
 def collect():
     entries = {}
     for name in sorted(dir(tn)):
@@ -56,6 +63,7 @@ def collect():
                 sig = str(inspect.signature(obj))
         except (TypeError, ValueError):
             sig = "(...)"
+        sig = _clean_sig(sig)
         doc = (inspect.getdoc(obj) or "").split("\n")[0]
         entries.setdefault(mod, []).append((name, sig, doc, inspect.isclass(obj)))
     return entries
@@ -113,6 +121,7 @@ def main():
             sig = str(inspect.signature(obj))
         except (TypeError, ValueError):
             sig = "(...)"
+        sig = _clean_sig(sig)
         doc = (inspect.getdoc(obj) or "").split("\n")[0]
         out.append(f"- **`tn.parallel.{name}`** — `{name}{sig}`" + (f"\n  {doc}" if doc else ""))
     out.append("")

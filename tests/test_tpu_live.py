@@ -109,6 +109,50 @@ out_d = np.asarray(tn.tt_multiply(tm, jnp.asarray(v)))
 rel_d = np.linalg.norm(out_d - gt) / np.linalg.norm(gt)
 assert rel_d < 5e-2, rel_d
 
+# --- Tucker-factored decompression must stay f32-exact under a low policy
+# (regression: the nested decompress_tucker_factors wrapper re-entered
+# default_matmul_precision at the policy level, silently undoing full()'s
+# 'highest' pin for the factor-absorption einsums).
+tn.set_policy("default")
+cores_tk = [jnp.asarray(rng.standard_normal((1, 6, 5)).astype(np.float32)),
+            jnp.asarray(rng.standard_normal((5, 6, 1)).astype(np.float32))]
+Us_tk = [jnp.asarray(rng.standard_normal((64, 6)).astype(np.float32)) for _ in range(2)]
+ttk = tn.Tensor(cores_tk, Us=Us_tk)
+got = ttk.numpy()
+c0 = np.asarray(cores_tk[0], np.float64); c1 = np.asarray(cores_tk[1], np.float64)
+U0 = np.asarray(Us_tk[0], np.float64); U1 = np.asarray(Us_tk[1], np.float64)
+gt_tk = np.einsum("ajb,ij,bkc,lk->il", c0, U0, c1, U1)
+rel_tk = np.linalg.norm(np.asarray(got, np.float64) - gt_tk) / np.linalg.norm(gt_tk)
+assert rel_tk < 1e-5, rel_tk  # f32-exact; bf16 leak would be ~1e-3
+tn.set_policy("default")
+
+# --- tn.stack + batch analytics on chip: per-sample moments of an ensemble
+members = [tn.rand((8, 8, 8), ranks_tt=r, key=jax.random.key(40 + r)) for r in (2, 3)]
+ens = tn.stack(members)
+rm = np.asarray(tn.raw_moment(ens, 2, algorithm="exact"))
+tn.set_policy("highest")
+for b, m in enumerate(members):
+    single = float(tn.raw_moment(m, 2, algorithm="exact"))
+    assert abs(rm[b] - single) < 5e-2 * max(abs(single), 1e-6), (b, rm[b], single)
+tn.set_policy("default")
+
+# --- serialization round trip with device arrays
+import tempfile, os as _os
+with tempfile.TemporaryDirectory() as td:
+    p = _os.path.join(td, "t.npz")
+    tn.save(h, p)
+    h2 = tn.load(p)
+    assert np.linalg.norm(h2.numpy() - hd) < 1e-5 * np.linalg.norm(hd)
+
+# --- TTClassifier: one tiny fit must train end-to-end on the chip
+Xc = np.concatenate([rng.normal(-1, 0.4, (64, 2)), rng.normal(1, 0.4, (64, 2))]).astype(np.float32)
+yc = np.array([0] * 64 + [1] * 64)
+clf = tn.TTClassifier(nticks=16, ranks_tt=3, ranks_tucker=4, max_iter=200,
+                      verbose=False, key=jax.random.key(50))
+clf.fit(Xc, yc)
+acc = clf.score(Xc, yc)
+assert acc > 0.8, acc
+
 print("TPU LIVE OK")
 """
 

@@ -1043,6 +1043,14 @@ def cross(
                 )
             finite_flags.clear()
         iter_samples.clear()
+        if record_samples:
+            # Drain this iteration's stash to host now that the val_eps
+            # float() above has synced anyway: bounds the device-memory
+            # footprint to one iteration of samples at zero extra syncs
+            for k in range(len(_rec)):
+                Xs_s, ev_s = _rec[k]
+                if not isinstance(ev_s, np.ndarray):
+                    _rec[k] = ([np.asarray(x) for x in Xs_s], np.asarray(ev_s))
         if _minimize and not record_samples and bool(_mz["has"]):
             info["min"] = float(_mz["best"])
             info["argmin"] = tuple(int(x) for x in np.asarray(_mz["arg"]))

@@ -362,16 +362,16 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
     batch = ts[0].batch
     if any(t.batch != batch for t in ts):
         raise ValueError("Cannot mix batch and non-batch tensors in hadamard_sum")
-    assert all(ts[0].shape == ts[i].shape for i in range(1, len(ts)))
+    for i in range(1, len(ts)):
+        if ts[0].shape != ts[i].shape:
+            raise ValueError(
+                f"hadamard_sum expects equal shapes (incl. batch size), got "
+                f"{tuple(ts[i].shape)} vs {tuple(ts[0].shape)}"
+            )
     if batch and algorithm != "exact":
         # The MRF algorithm rounds adaptively per mode (data-dependent
         # ranks), so samples run independently — same lift as batched cross.
         B = ts[0].cores[0].shape[0]
-        for t in ts[1:]:
-            if t.cores[0].shape[0] != B:
-                raise ValueError(
-                    f"Batch sizes differ in hadamard_sum: {B} vs {t.cores[0].shape[0]}"
-                )
         vals = [
             hadamard_sum(
                 [

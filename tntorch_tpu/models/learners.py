@@ -27,7 +27,7 @@ import numpy as np
 
 import tntorch_tpu as tn
 from tntorch_tpu.interpolation import features2indices, get_bounding_box
-from tntorch_tpu.utils import asarray, default_dtype
+from tntorch_tpu.utils import default_dtype
 
 
 def _batch_gather(t, idx):
@@ -125,11 +125,7 @@ class _TTLearner:
         return features2indices(X, bbox=self.bbox_, I=self.nticks)
 
     def _grid_shape(self, N):
-        if self.domain is not None:
-            if len(self.domain) != N:
-                raise ValueError(
-                    f"domain has {len(self.domain)} axes but X has {N} features"
-                )
+        if self.domain is not None:  # length validated in _fit_grid
             return [len(d) for d in self.domain]
         return [self.nticks] * N
 

@@ -1249,7 +1249,11 @@ class Tensor:
             return self._full_impl()
 
     def _full_impl(self) -> jax.Array:
-        t = self.decompress_tucker_factors(_clone=False)
+        # Call the impl directly: the public decompress_tucker_factors wrapper
+        # re-enters default_matmul_precision at the (possibly lower) policy
+        # precision, and the innermost context wins — which would silently
+        # undo full()'s 'highest' pin for the factor-absorption einsums.
+        t = self._decompress_tucker_factors_impl(_clone=False)
         dtype = t.cores[0].dtype
         m = self._m
         if self.batch:
