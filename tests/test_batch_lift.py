@@ -446,3 +446,28 @@ def test_batch_hadamard_sum_mrf_vs_loop():
         assert abs(got[b] - ref) < 1e-8 * max(abs(ref), 1.0)
     exact = np.asarray(tn.hadamard_sum([t, t, t], algorithm="exact"))
     np.testing.assert_allclose(got, exact, rtol=1e-8)
+
+
+def test_batch_minimum_maximum_argmin_argmax():
+    """Batch min/max: per-sample loop lift (the reference rejects batch in
+    cross; minimize pivoting is data-dependent per sample)."""
+    B, shape = 3, (8, 8, 8)
+    rng = np.random.default_rng(11)
+    dense = rng.standard_normal((B,) + shape)
+    singles = [tn.Tensor(jnp.asarray(dense[b]), eps=1e-14) for b in range(B)]
+    t = tn.stack(singles)
+    mn = np.asarray(tn.minimum(t, rmax=8, max_iter=12))
+    mx = np.asarray(tn.maximum(t, rmax=8, max_iter=12))
+    am = tn.argmin(t, rmax=8, max_iter=12)
+    ax = tn.argmax(t, rmax=8, max_iter=12)
+    assert mn.shape == (B,) and mx.shape == (B,)
+    assert isinstance(am, list) and len(am) == B
+    for b in range(B):
+        # Global optimum of a smooth-rank surrogate is an ESTIMATE; on exact
+        # TT input (eps=1e-14 decomposition, full rank 8^3) it is exact
+        assert abs(mn[b] - dense[b].min()) < 1e-8, (b, mn[b], dense[b].min())
+        assert abs(mx[b] - dense[b].max()) < 1e-8, (b, mx[b], dense[b].max())
+        assert dense[b][tuple(am[b])] == dense[b].min()
+        assert dense[b][tuple(ax[b])] == dense[b].max()
+    with pytest.raises(ValueError, match="mix batch"):
+        tn.minimum([t, singles[0]])

@@ -31,8 +31,48 @@ from tntorch_tpu.maxvol import rect_maxvol as _rect_maxvol
 from tntorch_tpu.utils import logger
 
 
+def _split_batch_samples(tensors):
+    """For batch input, the list of per-sample Tensor lists; else None.
+
+    minimize-mode pivoting is data-dependent per sample, so batch min/max
+    run as independent crosses (same lift as elementwise ops on ensembles).
+    """
+    if tensors is None:
+        return None
+    ts = list(tensors) if isinstance(tensors, (list, tuple)) else [tensors]
+    if not any(isinstance(t, tn.Tensor) and t.batch for t in ts):
+        return None
+    if not all(isinstance(t, tn.Tensor) and t.batch for t in ts):
+        raise ValueError("Cannot mix batch and non-batch tensors")
+    B = ts[0].cores[0].shape[0]
+    for t in ts[1:]:
+        if t.cores[0].shape[0] != B:
+            raise ValueError(
+                f"Batch sizes differ: {B} vs {t.cores[0].shape[0]}"
+            )
+    return [
+        [
+            tn.Tensor(
+                [c[b] for c in t.cores],
+                Us=[None if U is None else U[b] for U in t.Us],
+            )
+            for t in ts
+        ]
+        for b in range(B)
+    ]
+
+
 def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Estimate the minimum of a tensor / function of tensors (reference cross.py:12-37)."""
+    """Estimate the minimum of a tensor / function of tensors (reference
+    cross.py:12-37). Batch tensors return a (B,) array of per-sample minima
+    (beyond-parity; the reference rejects batch)."""
+    samples = _split_batch_samples(tensors)
+    if samples is not None:
+        return jnp.stack([
+            jnp.asarray(minimum(s, function=function, rmax=rmax,
+                                max_iter=max_iter, verbose=verbose, **kwargs))
+            for s in samples
+        ])
     _, info = cross(
         **kwargs, tensors=tensors, function=function, rmax=rmax, max_iter=max_iter,
         verbose=verbose, return_info=True, _minimize=True,
@@ -41,7 +81,15 @@ def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
 
 
 def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Coordinates of the minimum (reference cross.py:480-492)."""
+    """Coordinates of the minimum (reference cross.py:480-492). Batch
+    tensors return a list of per-sample coordinate tuples."""
+    samples = _split_batch_samples(tensors)
+    if samples is not None:
+        return [
+            argmin(s, function=function, rmax=rmax, max_iter=max_iter,
+                   verbose=verbose, **kwargs)
+            for s in samples
+        ]
     _, info = cross(
         **kwargs, tensors=tensors, function=function, rmax=rmax, max_iter=max_iter,
         verbose=verbose, return_info=True, _minimize=True,
@@ -50,7 +98,15 @@ def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
 
 
 def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Maximum element, via minimize of -t (reference cross.py:495-507)."""
+    """Maximum element, via minimize of -t (reference cross.py:495-507).
+    Batch tensors return a (B,) array of per-sample maxima."""
+    samples = _split_batch_samples(tensors)
+    if samples is not None:
+        return jnp.stack([
+            jnp.asarray(maximum(s, function=function, rmax=rmax,
+                                max_iter=max_iter, verbose=verbose, **kwargs))
+            for s in samples
+        ])
     _, info = cross(
         **kwargs, function=lambda *x: -function(*x), tensors=tensors, rmax=rmax,
         max_iter=max_iter, verbose=verbose, return_info=True, _minimize=True,
@@ -59,7 +115,15 @@ def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
 
 
 def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Coordinates of the maximum (reference cross.py:510-522)."""
+    """Coordinates of the maximum (reference cross.py:510-522). Batch
+    tensors return a list of per-sample coordinate tuples."""
+    samples = _split_batch_samples(tensors)
+    if samples is not None:
+        return [
+            argmax(s, function=function, rmax=rmax, max_iter=max_iter,
+                   verbose=verbose, **kwargs)
+            for s in samples
+        ]
     _, info = cross(
         **kwargs, tensors=tensors, function=lambda *x: -function(*x), rmax=rmax,
         max_iter=max_iter, verbose=verbose, return_info=True, _minimize=True,
@@ -560,7 +624,8 @@ def cross(
         if return_info or record_samples or _minimize:
             raise ValueError(
                 "Batched cross does not support return_info/record_samples/"
-                "minimize; loop over the samples for per-sample pivots/info"
+                "minimize; use tn.minimum/maximum/argmin/argmax (batch-aware)"
+                " or loop over the samples for per-sample pivots/info"
             )
         B = tensors[0].cores[0].shape[0]
         for t in tensors[1:]:
