@@ -404,7 +404,37 @@ def bench_cross_torch_cpu():
     return nsamples / wall
 
 
+def _wait_for_backend(max_tries=4, sleep_s=30):
+    """The axon TPU tunnel occasionally refuses connections transiently
+    (backend init raises UNAVAILABLE, and jax caches the failure for the
+    process lifetime). Probe from SUBPROCESSES until the backend answers so
+    a flaky minute doesn't cost the whole benchmark run; give up after
+    ~4 tries and let the run proceed on whatever backend initializes."""
+    import subprocess
+
+    probe = "import jax; jax.devices(); print(jax.default_backend())"
+    for i in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=180,
+            )
+            if r.returncode == 0:
+                backend = r.stdout.strip().splitlines()[-1]
+                print(f"# backend probe ok: {backend}", file=sys.stderr)
+                return backend
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"# backend probe {i + 1}/{max_tries} failed; retry in {sleep_s}s",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+    return None
+
+
 def main():
+    _wait_for_backend()
     _maybe_enable_cache()
     from tntorch_tpu.ops.rounding import round_tt_flops
 
