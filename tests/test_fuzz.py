@@ -166,3 +166,27 @@ def test_complex_fast_qr_policy():
         tn.set_policy("highest")
     err = np.linalg.norm(np.asarray(s.numpy()) - 2 * x) / np.linalg.norm(x)
     assert err <= 1e-8, err
+
+
+def test_fuzz_stack_vs_dense_oracle():
+    """tn.stack over random hybrid formats (CP/Tucker/TT mixes at random
+    ranks): full-tensor round trip + per-sample analytics on the ensemble."""
+    for trial in range(6):
+        rng = np.random.RandomState(30_000 + trial)
+        N = rng.randint(2, 4)
+        B = rng.randint(2, 4)
+        shape = [int(v) for v in rng.randint(2, 6, N)]
+        members = [random_format(shape, rng=rng) for _ in range(B)]
+        st = tn.stack(members)
+        dense = np.stack([np.asarray(m.numpy()) for m in members])
+        assert st.batch and st.shape[0] == B
+        assert np.allclose(np.asarray(st.numpy()), dense, atol=1e-9)
+        assert np.allclose(
+            np.asarray(tn.sum(st)), [float(tn.sum(m)) for m in members], atol=1e-8
+        )
+        assert np.allclose(
+            np.asarray(tn.norm(st)), [float(tn.norm(m)) for m in members], rtol=1e-8
+        )
+        # unstack inverse
+        for b in range(B):
+            assert np.allclose(np.asarray(st[b].numpy()), dense[b], atol=1e-9)
