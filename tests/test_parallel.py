@@ -288,3 +288,28 @@ def test_sharded_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(flat.numpy()), np.asarray(t.numpy()), atol=1e-12
     )
+
+
+def test_learner_ensemble_mesh_matches_single_device():
+    """TTRegressor ensemble with mesh=: members dp-sharded across devices,
+    params replicated — must match the unsharded fit (same global math)."""
+    rng = np.random.default_rng(21)
+    X = rng.uniform(-1, 1, (96, 2))
+    y = np.sin(2 * X[:, 0]) + X[:, 1]
+    mesh = make_mesh((8,), ("dp",))
+    kw = dict(nticks=16, ranks_tt=3, ranks_tucker=4, max_iter=150, tol=1e-12,
+              n_estimators=8, verbose=False)
+    a = tn.TTRegressor(key=jax.random.key(3), **kw).fit(X, y)
+    b = tn.TTRegressor(key=jax.random.key(3), mesh=mesh, **kw).fit(X, y)
+    Xt = rng.uniform(-1, 1, (30, 2))
+    np.testing.assert_allclose(
+        np.asarray(a.predict(Xt)), np.asarray(b.predict(Xt)), rtol=1e-6, atol=1e-9
+    )
+    # single-model data-parallel path: samples sharded over dp
+    c = tn.TTRegressor(key=jax.random.key(3), nticks=16, ranks_tt=3,
+                       ranks_tucker=4, max_iter=150, tol=1e-12, verbose=False).fit(X, y)
+    d = tn.TTRegressor(key=jax.random.key(3), mesh=mesh, nticks=16, ranks_tt=3,
+                       ranks_tucker=4, max_iter=150, tol=1e-12, verbose=False).fit(X, y)
+    np.testing.assert_allclose(
+        np.asarray(c.predict(Xt)), np.asarray(d.predict(Xt)), rtol=1e-6, atol=1e-9
+    )

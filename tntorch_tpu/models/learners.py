@@ -81,6 +81,7 @@ class _TTLearner:
         domain: Optional[Sequence] = None,
         n_estimators: int = 1,
         bootstrap: bool = True,
+        mesh=None,
         key: Optional[jax.Array] = None,
     ):
         self.nticks = int(nticks)
@@ -94,6 +95,7 @@ class _TTLearner:
         self.domain = domain
         self.n_estimators = int(n_estimators)
         self.bootstrap = bool(bootstrap)
+        self.mesh = mesh
         self.key = key if key is not None else jax.random.key(0)
         self.tensor_ = None
         self.bbox_ = None
@@ -158,6 +160,24 @@ class _TTLearner:
 
     _has_class_mode = False
 
+    def _maybe_shard(self, *arrs):
+        """Shard training arrays' leading axes over the mesh dp axis (data
+        parallel: samples for a single model, members for an ensemble);
+        params are replicated by optimize(mesh=). Axes not divisible by the
+        dp size stay unsharded (XLA still runs, just without partitioning)."""
+        if self.mesh is None:
+            return arrs if len(arrs) > 1 else arrs[0]
+        from tntorch_tpu.parallel.algorithms import shard_array
+
+        ndev = int(self.mesh.shape.get("dp", 1))
+        out = tuple(
+            shard_array(a, self.mesh)
+            if int(jnp.asarray(a).shape[0]) % ndev == 0
+            else jnp.asarray(a)
+            for a in arrs
+        )
+        return out if len(out) > 1 else out[0]
+
     def _optimize(self, loss):
         self.losses_ = tn.optimize(
             self.tensor_,
@@ -166,6 +186,7 @@ class _TTLearner:
             tol=self.tol,
             max_iter=self.max_iter,
             verbose=self.verbose,
+            mesh=self.mesh,
         )
         return self
 
@@ -195,13 +216,15 @@ class TTRegressor(_TTLearner):
 
         if self.n_estimators > 1:
             sel = self._member_rows(len(y))
-            IDX = jnp.asarray(idx)[sel]  # (B, P, N) per-member rows
-            Y = yj[sel]
+            # dp-shard over members: each device trains its own slice of the
+            # ensemble (params replicated, gradients partitioned by XLA)
+            IDX, Y = self._maybe_shard(jnp.asarray(idx)[sel], yj[sel])
 
             def loss(t):
                 return jnp.mean((_batch_gather(t, IDX) - Y) ** 2)
 
         else:
+            idx, yj = self._maybe_shard(jnp.asarray(idx), yj)  # dp over samples
 
             def loss(t):
                 pred = t[idx].full()
@@ -254,8 +277,7 @@ class TTClassifier(_TTLearner):
 
         if self.n_estimators > 1:
             sel = self._member_rows(len(y))
-            IDX = jnp.asarray(idx)[sel]  # (B, P, N)
-            Y = yj[sel]
+            IDX, Y = self._maybe_shard(jnp.asarray(idx)[sel], yj[sel])
 
             def loss(t):
                 logits = _batch_gather(t, IDX)  # (B, P, C)
@@ -264,6 +286,7 @@ class TTClassifier(_TTLearner):
                 return -jnp.mean(picked)
 
         else:
+            idx, yj = self._maybe_shard(jnp.asarray(idx), yj)
 
             def loss(t):
                 # Indexing with a (P, N) matrix leaves the class mode free ->
