@@ -102,3 +102,84 @@ def test_stats():
         assert tn.relative_error(tn.mean(t), np.mean(x)) <= 1e-3
         assert tn.relative_error(tn.var(t), np.var(x)) <= 1e-3
         assert tn.relative_error(tn.norm(t), np.linalg.norm(x)) <= 1e-3
+
+
+def test_full_unary_surface():
+    """Every unary op in the family vs the numpy oracle on a domain where it
+    is defined (cross-approximated, so tolerance is the cross eps class)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # values in (0.05, 0.95): inside the domain of acos/asin/erfinv/log/...
+    x = rng.uniform(0.05, 0.95, (6, 6, 6))
+    t = tn.Tensor(jnp.asarray(x), eps=1e-14)
+    cases = {
+        "abs": np.abs, "acos": np.arccos, "asin": np.arcsin,
+        "atan": np.arctan, "cos": np.cos, "cosh": np.cosh,
+        "exp": np.exp, "log": np.log, "log10": np.log10, "log2": np.log2,
+        "reciprocal": lambda v: 1 / v, "rsqrt": lambda v: 1 / np.sqrt(v),
+        "sigmoid": lambda v: 1 / (1 + np.exp(-v)), "sin": np.sin,
+        "sinh": np.sinh, "sqrt": np.sqrt, "tan": np.tan, "tanh": np.tanh,
+    }
+    from scipy import special
+    cases["erf"] = special.erf
+    cases["erfinv"] = special.erfinv
+    for name, oracle in cases.items():
+        got = getattr(tn, name)(t, eps=1e-10)
+        want = oracle(x)
+        err = np.linalg.norm(got.numpy() - want) / np.linalg.norm(want)
+        assert err < 1e-6, (name, err)
+
+
+def test_full_binary_surface():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.1, 0.9, (5, 5, 5))
+    y = rng.uniform(0.1, 0.9, (5, 5, 5))
+    a = tn.Tensor(jnp.asarray(x), eps=1e-14)
+    b = tn.Tensor(jnp.asarray(y), eps=1e-14)
+    for name, oracle in {
+        "add": lambda u, v: u + v, "mul": lambda u, v: u * v,
+        "div": lambda u, v: u / v, "atan2": np.arctan2,
+        "pow": np.power,
+    }.items():
+        got = getattr(tn, name)(a, b)
+        want = oracle(x, y)
+        err = np.linalg.norm(got.numpy() - want) / np.linalg.norm(want)
+        assert err < 1e-6, (name, err)
+
+
+def test_unfoldings_and_maxvol_aliases():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 4, 5))
+    t = tn.Tensor(jnp.asarray(x), eps=1e-14)
+    c = t.cores[1]  # (r, 4, r')
+    L = np.asarray(tn.left_unfolding(c))
+    R = np.asarray(tn.right_unfolding(c))
+    assert L.shape == (c.shape[0] * 4, c.shape[2])
+    assert R.shape == (c.shape[0], 4 * c.shape[2])
+    np.testing.assert_allclose(L, np.asarray(c).reshape(L.shape), rtol=1e-12)
+    np.testing.assert_allclose(R, np.asarray(c).reshape(R.shape), rtol=1e-12)
+    # py_maxvol / py_rect_maxvol: reference-named aliases
+    A = rng.standard_normal((30, 5))
+    rows, _ = tn.py_maxvol(A)
+    assert len(set(int(r) for r in rows)) == 5
+    rows_r, _ = tn.py_rect_maxvol(A, maxK=9)
+    assert 5 <= len(rows_r) <= 9
+
+
+def test_logic_presence_absence():
+    N = 4
+    sym = tn.symbols(N)
+    p = tn.presence(N, [0, 2])
+    ab = tn.absence(N, [1])
+    # presence([0,2]): strings with x0=1 and x2=1 -> 2^(N-2) accepted
+    assert abs(float(tn.sum(p)) - 2 ** (N - 2)) < 1e-8
+    # absence([1]): x1=0 -> 2^(N-1)
+    assert abs(float(tn.sum(ab)) - 2 ** (N - 1)) < 1e-8
+    both = p & ab
+    assert abs(float(tn.sum(both)) - 2 ** (N - 3)) < 1e-8
+    assert bool(tn.is_satisfiable(both))
