@@ -140,6 +140,16 @@ def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
 
 
 @jax.jit
+def _val_forward(cores, X):
+    """Validation-set TT evaluation. Module-level jit: re-wrapping
+    jax.jit(...) per call would re-TRACE every iteration (each wrapper has
+    its own cache; only the XLA compile step is shared)."""
+    from tntorch_tpu.parallel.mesh import tt_batch_forward
+
+    return tt_batch_forward(list(cores), X)
+
+
+@jax.jit
 def _rchain(cores_tail, idx):
     """Right interface chain: contract cores j+1..N-1 at the index rows."""
     with jax.default_matmul_precision("highest"):
@@ -1081,9 +1091,7 @@ def cross(
         cores[0] = V
 
         # Validation error (jitted TT evaluation at the validation coordinates)
-        from tntorch_tpu.parallel.mesh import tt_batch_forward
-
-        pred = jax.jit(tt_batch_forward)(list(cores), Xs_val_mat)
+        pred = _val_forward(list(cores), Xs_val_mat)
         val_eps = float(jnp.linalg.norm(ys_val - pred) / norm_ys_val)
         if finite_flags:
             if not bool(jnp.stack(finite_flags).all()):
