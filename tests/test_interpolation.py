@@ -78,6 +78,24 @@ def test_lars_path():
     assert recon <= 1e-6
 
 
+def test_lars_device_kernel_matches_host_oracle():
+    # The jitted lax.fori_loop LARS must reproduce the host NumPy loop,
+    # including early stopping (path length) and step lengths.
+    from tntorch_tpu.interpolation import _lars_path_host
+
+    rng = np.random.default_rng(5)
+    for P, M, noise, maxnz in [(100, 20, 0.0, 10), (100, 20, 0.1, None), (30, 60, 0.0, None)]:
+        X = rng.standard_normal((P, M))
+        beta = np.zeros(M)
+        k = min(5, M)
+        beta[rng.choice(M, k, replace=False)] = rng.standard_normal(k)
+        y = X @ beta + noise * rng.standard_normal(P)
+        d = tn.lars_path(X, y, max_nonzero=maxnz)
+        h = _lars_path_host(X, y, max_nonzero=maxnz)
+        assert d.shape == h.shape
+        assert np.abs(d - h).max() <= 1e-9
+
+
 def test_pce():
     rng = np.random.default_rng(3)
     X = jnp.asarray(rng.random((400, 2)))

@@ -375,25 +375,130 @@ def gram_schmidt(x, S):
     return Psi
 
 
+@partial(jax.jit, static_argnames=("maxK",))
+def _lars_path_kernel(G, b, maxK: int):
+    """Device-resident LARS active-set loop (covariance form) as ONE XLA
+    program: `lax.fori_loop` over up-to-maxK feature additions with a
+    growing Cholesky factor of the signed active Gram maintained in a
+    padded (maxK, maxK) buffer. Zero host syncs; the only transfer is the
+    final (M, maxK+1) coefficient path.
+
+    Per step: masked argmax picks the most correlated inactive feature;
+    its signed Gram row extends the Cholesky (one triangular solve);
+    the equiangular weights come from two triangular solves of LL^T w = 1;
+    the step length gamma is a masked minimum over the inactive g1/g2
+    candidates (Efron et al. 2004, eq. 2.13). Unused Cholesky slots stay
+    identity rows so the padded triangular solves are exact.
+
+    :return: (path (M, maxK+1), n_steps) — columns beyond n_steps repeat
+        the final coefficients (the loop runs a static maxK times; a
+        `done` flag freezes state once correlations vanish).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    M = G.shape[0]
+    dtype = G.dtype
+    tiny = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    slots = jnp.arange(maxK)
+
+    L0 = jnp.eye(maxK, dtype=dtype)
+    act_idx0 = jnp.zeros(maxK, dtype=jnp.int32)
+    s_act0 = jnp.zeros(maxK, dtype=dtype)
+    act_mask0 = jnp.zeros(M, dtype=bool)
+    coef0 = jnp.zeros(M, dtype=dtype)
+    path0 = jnp.zeros((M, maxK + 1), dtype=dtype)
+
+    def body(k, state):
+        L, act_idx, s_act, act_mask, c, coef, path, nsteps, done = state
+        C = jnp.max(jnp.abs(c))
+        step_done = done | (C < tiny)
+
+        # 1. admit the most correlated inactive feature
+        j = jnp.argmax(jnp.where(act_mask, -jnp.inf, jnp.abs(c)))
+        sj = jnp.where(c[j] < 0, -jnp.ones((), dtype), jnp.ones((), dtype))
+
+        # 2. extend the Cholesky factor with the signed Gram row of j
+        in_prev = slots < k  # previously filled slots
+        g_row = jnp.where(in_prev, sj * s_act * G[j, act_idx], 0.0)
+        w_ = solve_triangular(L, g_row, lower=True)
+        ljj = jnp.sqrt(jnp.maximum(G[j, j] - w_ @ w_, tiny))
+        new_row = jnp.where(in_prev, w_, 0.0).at[k].set(ljj)
+        L = jnp.where(step_done, L, L.at[k, :].set(new_row))
+        act_idx = jnp.where(step_done, act_idx, act_idx.at[k].set(j.astype(jnp.int32)))
+        s_act = jnp.where(step_done, s_act, s_act.at[k].set(sj))
+        act_mask = jnp.where(step_done, act_mask, act_mask.at[j].set(True))
+
+        # 3. equiangular direction: solve (L L^T) w = 1 over filled slots
+        in_cur = slots <= k
+        ones_k = jnp.where(in_cur, jnp.ones(maxK, dtype=dtype), 0.0)
+        z = solve_triangular(L, ones_k, lower=True)
+        w = solve_triangular(L.T, z, lower=False)
+        AA = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(w), tiny))
+        w = AA * w
+
+        # 4. a = X^T u without forming u: (G[:, active] * s) @ w
+        Gact = G[:, act_idx] * jnp.where(in_cur, s_act, 0.0)[None, :]
+        a = Gact @ w
+
+        # 5. step length gamma (masked candidate minimum over inactive)
+        g1 = (C - c) / (AA - a)
+        g2 = (C + c) / (AA + a)
+        valid1 = ~act_mask & jnp.isfinite(g1) & (g1 > tiny)
+        valid2 = ~act_mask & jnp.isfinite(g2) & (g2 > tiny)
+        cand = jnp.minimum(
+            jnp.min(jnp.where(valid1, g1, jnp.inf)),
+            jnp.min(jnp.where(valid2, g2, jnp.inf)),
+        )
+        full_step = C / AA  # the exact least-squares step
+        use_cand = jnp.isfinite(cand) & (k + 1 < maxK)
+        gamma = jnp.minimum(jnp.where(use_cand, cand, full_step), full_step)
+
+        # 6. update coefficients (scatter over active slots) and correlations
+        upd = jnp.where(in_cur & ~step_done, gamma * s_act * w, 0.0)
+        coef = coef.at[act_idx].add(upd)
+        c = jnp.where(step_done, c, c - gamma * a)
+        path = path.at[:, k + 1].set(coef)
+        nsteps = jnp.where(step_done, nsteps, k + 1)
+        return (L, act_idx, s_act, act_mask, c, coef, path, nsteps, step_done)
+
+    state = (L0, act_idx0, s_act0, act_mask0, b, coef0, path0, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    L, act_idx, s_act, act_mask, c, coef, path, nsteps, done = jax.lax.fori_loop(0, maxK, body, state)
+    return path, nsteps
+
+
 def lars_path(X, y, max_nonzero: Optional[int] = None):
     """Least Angle Regression (Efron et al. 2004), returning the full
     coefficient path. Replaces the reference's sklearn.linear_model.Lars
     dependency (interpolation.py:506-509).
 
-    Covariance-form split: the O(P*M^2) work — the Gram X^T X and the
-    correlation vector X^T y — runs ONCE on device (MXU GEMMs); the
-    inherently sequential active-set loop then touches only M-sized host
-    state (correlations update as c -= gamma * a with a = G[:, A] w, so
-    the P-length residual never exists). Identical math to residual-form
-    LARS.
+    Fully device-resident: the O(P*M^2) Gram X^T X and correlation vector
+    X^T y are MXU GEMMs, and the sequential active-set loop runs as one
+    jitted `lax.fori_loop` (`_lars_path_kernel`) — the P-length residual
+    never exists and no per-step host sync happens. `_lars_path_host` is
+    the NumPy oracle kept for tests.
 
     :param X: design matrix (P x M), columns assumed non-degenerate
     :param y: target vector (P,)
     :param max_nonzero: stop after this many active features (default: min(P, M))
     :return: coef_path, an (M x K) matrix; column k has k active coefficients
     """
-    import jax
+    Xd = asarray(X)
+    yd = asarray(y)
+    P, M = Xd.shape
+    dtype = jnp.promote_types(Xd.dtype, default_dtype())
+    with jax.default_matmul_precision("highest"):
+        G = (Xd.T @ Xd).astype(dtype)
+        b = (Xd.T @ yd).astype(dtype)
+    if max_nonzero is None:
+        max_nonzero = min(P, M)
+    maxK = min(max_nonzero, min(P, M))
+    path, nsteps = _lars_path_kernel(G, b, maxK)
+    return np.asarray(path[:, : int(nsteps) + 1], dtype=np.float64)
 
+
+def _lars_path_host(X, y, max_nonzero: Optional[int] = None):
+    """Host NumPy LARS (residual-free covariance form) — oracle for
+    `_lars_path_kernel`; same math, Python loop."""
     Xd = asarray(X)
     yd = asarray(y)
     P, M = Xd.shape
