@@ -425,16 +425,16 @@ def _wait_for_backend(max_tries=4, sleep_s=30):
                 return backend
         except subprocess.TimeoutExpired:
             pass
-        print(
-            f"# backend probe {i + 1}/{max_tries} failed; retry in {sleep_s}s",
-            file=sys.stderr,
-        )
-        time.sleep(sleep_s)
+        print(f"# backend probe {i + 1}/{max_tries} failed", file=sys.stderr)
+        if i + 1 < max_tries:
+            time.sleep(sleep_s)
     return None
 
 
 def main():
-    _wait_for_backend()
+    backend = _wait_for_backend()
+    if backend is None:
+        print("# no backend answered probes; proceeding anyway", file=sys.stderr)
     _maybe_enable_cache()
     from tntorch_tpu.ops.rounding import round_tt_flops
 

@@ -173,7 +173,6 @@ def test_unfoldings_and_maxvol_aliases():
 
 def test_logic_presence_absence():
     N = 4
-    sym = tn.symbols(N)
     p = tn.presence(N, [0, 2])
     ab = tn.absence(N, [1])
     # presence([0,2]): strings with x0=1 and x2=1 -> 2^(N-2) accepted

@@ -63,9 +63,10 @@ def _split_batch_samples(tensors):
 
 
 def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Estimate the minimum of a tensor / function of tensors (reference
-    cross.py:12-37). Batch tensors return a (B,) array of per-sample minima
-    (beyond-parity; the reference rejects batch)."""
+    """Estimate the minimum of a tensor / function of tensors.
+
+    Reference cross.py:12-37. Batch tensors return a (B,) array of
+    per-sample minima (beyond-parity; the reference rejects batch)."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
         return jnp.stack([
@@ -81,8 +82,10 @@ def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
 
 
 def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Coordinates of the minimum (reference cross.py:480-492). Batch
-    tensors return a list of per-sample coordinate tuples."""
+    """Coordinates of the minimum.
+
+    Reference cross.py:480-492. Batch tensors return a list of per-sample
+    coordinate tuples."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
         return [
@@ -98,8 +101,10 @@ def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
 
 
 def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Maximum element, via minimize of -t (reference cross.py:495-507).
-    Batch tensors return a (B,) array of per-sample maxima."""
+    """Maximum element, via minimize of -t.
+
+    Reference cross.py:495-507. Batch tensors return a (B,) array of
+    per-sample maxima."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
         return jnp.stack([
@@ -115,8 +120,10 @@ def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
 
 
 def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
-    """Coordinates of the maximum (reference cross.py:510-522). Batch
-    tensors return a list of per-sample coordinate tuples."""
+    """Coordinates of the maximum.
+
+    Reference cross.py:510-522. Batch tensors return a list of per-sample
+    coordinate tuples."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
         return [
@@ -629,27 +636,15 @@ def cross(
         # stack at zero-padded common ranks. This makes the whole
         # cross-based elementwise family (exp, /, **, cumprod, ...) work
         # on ensembles.
-        if not all(t.batch for t in tensors):
-            raise ValueError("Cannot mix batch and non-batch tensors in cross")
         if return_info or record_samples or _minimize:
             raise ValueError(
                 "Batched cross does not support return_info/record_samples/"
                 "minimize; use tn.minimum/maximum/argmin/argmax (batch-aware)"
                 " or loop over the samples for per-sample pivots/info"
             )
-        B = tensors[0].cores[0].shape[0]
-        for t in tensors[1:]:
-            if t.cores[0].shape[0] != B:
-                raise ValueError(
-                    f"Batch sizes differ in cross: {B} vs {t.cores[0].shape[0]}"
-                )
+        samples = _split_batch_samples(tensors)
         outs = []
-        for b in range(B):
-            sample_tensors = []
-            for t in tensors:
-                cs = [c[b] for c in t.cores]
-                us = [None if U is None else U[b] for U in t.Us]
-                sample_tensors.append(tn.Tensor(cs, Us=us, batch=False))
+        for b, sample_tensors in enumerate(samples):
             outs.append(
                 cross(
                     function=function,

@@ -421,7 +421,11 @@ def _lars_path_kernel(G, b, maxK: int):
         in_prev = slots < k  # previously filled slots
         g_row = jnp.where(in_prev, sj * s_act * G[j, act_idx], 0.0)
         w_ = solve_triangular(L, g_row, lower=True)
-        ljj = jnp.sqrt(jnp.maximum(G[j, j] - w_ @ w_, tiny))
+        # Pivot clamp RELATIVE to the column scale: an exactly-dependent
+        # column (where the host oracle falls back to lstsq) degrades to a
+        # ridge-like step instead of an explosive 1/sqrt(tiny) weight
+        eps_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+        ljj = jnp.sqrt(jnp.maximum(G[j, j] - w_ @ w_, eps_rel * G[j, j] + tiny))
         new_row = jnp.where(in_prev, w_, 0.0).at[k].set(ljj)
         L = jnp.where(step_done, L, L.at[k, :].set(new_row))
         act_idx = jnp.where(step_done, act_idx, act_idx.at[k].set(j.astype(jnp.int32)))
@@ -492,7 +496,13 @@ def lars_path(X, y, max_nonzero: Optional[int] = None):
     if max_nonzero is None:
         max_nonzero = min(P, M)
     maxK = min(max_nonzero, min(P, M))
-    path, nsteps = _lars_path_kernel(G, b, maxK)
+    if maxK <= 0:
+        return np.zeros((M, 1))
+    # Trace the whole loop at exact matmul precision: the sequential
+    # c -= gamma*a updates accumulate, and a bf16-MXU dot inside would
+    # perturb feature selection (the replaced host path was f64 throughout)
+    with jax.default_matmul_precision("highest"):
+        path, nsteps = _lars_path_kernel(G, b, maxK)
     return np.asarray(path[:, : int(nsteps) + 1], dtype=np.float64)
 
 

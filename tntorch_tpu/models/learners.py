@@ -95,6 +95,11 @@ class _TTLearner:
         self.domain = domain
         self.n_estimators = int(n_estimators)
         self.bootstrap = bool(bootstrap)
+        if mesh is not None and "dp" not in mesh.axis_names:
+            raise ValueError(
+                "Learner mesh must have a 'dp' axis to shard samples/members over "
+                f"(got axes {mesh.axis_names}); build it with tn.make_mesh()"
+            )
         self.mesh = mesh
         self.key = key if key is not None else jax.random.key(0)
         self.tensor_ = None
