@@ -417,3 +417,16 @@ def test_sharded_checkpoint_roundtrips_idxs(tmp_path):
         assert np.array_equal(np.asarray(ia), np.asarray(ib))
     m = tn.only(tn.symbols(3)[1])
     assert np.allclose(tn.mask(a, m).numpy(), tn.mask(b, m).numpy(), atol=1e-10)
+
+
+def test_sharded_checkpoint_roundtrips_batch_idxs(tmp_path):
+    """Batch tensors carry N+1 idxs (leading batch arange); the sharded
+    loader must rebuild all of them, not truncate to N (round-3 review)."""
+    t = tn.rand([4, 5, 6], ranks_tt=2, batch=True, key=jax.random.key(5))
+    p = tmp_path / "batch_ckpt"
+    tn.save_orbax_sharded(t, p)
+    b = tn.load_orbax_sharded(p)
+    assert len(b.idxs) == len(t.idxs) == 3
+    for ia, ib in zip(t.idxs, b.idxs):
+        assert np.array_equal(np.asarray(ia), np.asarray(ib))
+    assert np.allclose(b.numpy(), t.numpy())

@@ -173,3 +173,51 @@ def test_shift_mode_kernel_matches_eager():
         assert list(t1.ranks_tt) == list(t2.ranks_tt)
         a, b = np.asarray(t1.numpy()), np.asarray(t2.numpy())
         assert np.linalg.norm(a - b) <= 1e-10 * np.linalg.norm(b)
+
+
+def test_tools_batch_modes():
+    # Regression: tools functions index MODES, not t.shape positions — on
+    # batch tensors the leading batch slot must not shift/consume mode dims
+    import jax
+
+    t = tn.rand([3, 4, 5], ranks_tt=2, batch=True, key=jax.random.key(0))
+    dense = np.asarray(t.numpy())  # (B=3, 4, 5)
+
+    # flip
+    assert np.allclose(np.asarray(tn.flip(t, 0).numpy()), dense[:, ::-1, :])
+    assert np.allclose(np.asarray(tn.flip(t, [0, 1]).numpy()), dense[:, ::-1, ::-1])
+
+    # unbind along mode 0 -> 4 batch slices of shape (3, 5)
+    parts = tn.unbind(t, 0)
+    assert len(parts) == 4
+    assert np.allclose(np.asarray(parts[2].numpy()), dense[:, 2, :])
+
+    # cat with a negative dim
+    c = tn.cat(t, t, dim=-1)
+    assert np.allclose(np.asarray(c.numpy()), np.concatenate([dense, dense], axis=2))
+
+    # pad a batch TT core
+    p = tn.pad(t, 9, dim=1)
+    out = np.asarray(p.numpy())
+    assert out.shape == (3, 4, 9)
+    assert np.allclose(out[:, :, :5], dense) and np.allclose(out[:, :, 5:], 0)
+
+    # hash: per-sample fingerprints equal the non-batch hashes
+    h = np.asarray(tn.hash(t))
+    assert h.shape == (3,)
+    h0 = float(tn.hash(tn.Tensor([c[0] for c in t.cores])))
+    assert abs(h[0] - h0) <= 1e-10
+
+    # squeeze never drops the batch axis (B=1 included)
+    tb1 = tn.rand([1, 4, 1, 5], ranks_tt=2, batch=True, key=jax.random.key(1))
+    s = tn.squeeze(tb1)
+    assert s.batch and np.asarray(s.numpy()).shape == (1, 4, 5)
+
+
+def test_shift_mode_bad_eps_raises():
+    t = tn.rand([4, 4, 4], ranks_tt=3)
+    try:
+        tn.shift_mode(t, 0, 1, eps="bogus")
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "not recognized" in str(e)

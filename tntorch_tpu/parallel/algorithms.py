@@ -13,7 +13,7 @@ riding ICI on a real pod mesh.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
@@ -84,8 +84,6 @@ def round_tt_gram_sharded(
     :param rmax: int or per-edge sequence of ints (static)
     :return: list of rounded cores, mode-sharded over `axis`
     """
-    from jax import shard_map
-
     n_shards = mesh.shape[axis]
     cores = [jnp.asarray(c) for c in cores]
     Is = [c.shape[1] for c in cores]
@@ -98,16 +96,27 @@ def round_tt_gram_sharded(
         padded.append(c)
 
     rmax = rmax if isinstance(rmax, int) else tuple(int(r) for r in rmax)
+    run = _gram_round_sharded_jit(mesh, axis, rmax, edge_solver, len(padded))
+    with jax.default_matmul_precision("highest"):
+        out = run(tuple(padded))
+    return [c[:, :I, :] for c, I in zip(out, Is)]
+
+
+@lru_cache(maxsize=None)
+def _gram_round_sharded_jit(mesh, axis, rmax, edge_solver, n_cores):
+    """One jitted shard_map program per (mesh, axis, rmax, solver, N) —
+    rebuilding the wrapper per call would retrace/recompile every
+    invocation (first compiles cost 20-40 s through the TPU tunnel)."""
+    from jax import shard_map
+
     spec = P(None, axis, None)
     fn = shard_map(
         partial(_gram_round_local, rmax=rmax, axis=axis, edge_solver=edge_solver),
         mesh=mesh,
-        in_specs=(tuple(spec for _ in padded),),
-        out_specs=tuple(spec for _ in padded),
+        in_specs=(tuple(spec for _ in range(n_cores)),),
+        out_specs=tuple(spec for _ in range(n_cores)),
     )
-    with jax.default_matmul_precision("highest"):
-        out = jax.jit(fn)(tuple(padded))
-    return [c[:, :I, :] for c, I in zip(out, Is)]
+    return jax.jit(fn)
 
 
 def round_tt_batch_sharded(
@@ -120,18 +129,20 @@ def round_tt_batch_sharded(
     :param cores: batched cores (B x R x I x R); B divisible by the axis size
     :return: list of rounded cores, batch-sharded over `axis`
     """
-    from tntorch_tpu.ops.rounding import _round_tt_gram_body
-
     rmax = rmax if isinstance(rmax, int) else tuple(int(r) for r in rmax)
     sharding = NamedSharding(mesh, P(axis, None, None, None))
     cores = [jax.device_put(c, sharding) for c in cores]
+    return list(_batch_round_jit(tuple(cores), rmax))
 
-    @jax.jit
-    def run(cs):
-        with jax.default_matmul_precision("highest"):
-            return jax.vmap(lambda *one: tuple(_round_tt_gram_body(list(one), rmax)))(*cs)
 
-    return list(run(tuple(cores)))
+@partial(jax.jit, static_argnames=("rmax",))
+def _batch_round_jit(cs, rmax):
+    """Module-level jit (shardings are part of jit's cache key, so the
+    sharded inputs recompile once per mesh, not once per call)."""
+    from tntorch_tpu.ops.rounding import _round_tt_gram_body
+
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(lambda *one: tuple(_round_tt_gram_body(list(one), rmax)))(*cs)
 
 
 def shard_array(x, mesh: Mesh, axis: str = "dp"):

@@ -8,6 +8,7 @@ collectives by hand.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Sequence
 
 import jax
@@ -171,8 +172,14 @@ def tt_forward_sharded(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str =
         jax.device_put(c, NamedSharding(mesh, spec))
         for c, spec in zip(cores, rank_specs(cores, tp_axis))
     ]
-    out_sharding = NamedSharding(mesh, P(dp_axis))
-    return jax.jit(tt_batch_forward, out_shardings=out_sharding)(cores, X)
+    return _tt_forward_jit(NamedSharding(mesh, P(dp_axis)))(cores, X)
+
+
+@lru_cache(maxsize=None)
+def _tt_forward_jit(out_sharding):
+    """One jitted forward per output sharding — a fresh jax.jit wrapper per
+    call would retrace every invocation."""
+    return jax.jit(tt_batch_forward, out_shardings=out_sharding)
 
 
 def tt_forward_shard_map(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
@@ -192,8 +199,12 @@ def tt_forward_shard_map(cores, X, mesh: Mesh, dp_axis: str = "dp", tp_axis: str
 
     tp = mesh.shape[tp_axis]
     N = len(cores)
+    # Only EVEN rank edges are split under the alternating layout (even core
+    # column-sharded on edge k, odd core k+1 row-sharded on the same edge);
+    # odd edges stay replicated and need no divisibility.
     for n, c in enumerate(cores[:-1]):
-        assert c.shape[-1] % tp == 0, f"rank edge {n} not divisible by tp={tp}"
+        if n % 2 == 0:
+            assert c.shape[-1] % tp == 0, f"rank edge {n} not divisible by tp={tp}"
     # Alternating layout: even cores column-sharded (output rank local),
     # odd cores row-sharded (input rank local) -> psum after each odd core.
     # Invariant: the FINAL core is never column-sharded — if its index is odd

@@ -184,9 +184,11 @@ def load_orbax_sharded(path, mesh=None):
         for n in range(N)
     ]
     idxs_meta = meta.get("idxs", {}) or {}
+    # Batch tensors carry N+1 idxs (leading batch arange) — same layout as
+    # the other loaders
     idxs = [
         np.asarray(idxs_meta[str(n)]) if str(n) in idxs_meta else None
-        for n in range(N)
+        for n in range(N + (1 if bool(meta["batch"]) else 0))
     ]
     if not any(i is not None for i in idxs):
         idxs = None

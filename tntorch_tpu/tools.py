@@ -19,15 +19,20 @@ Array-like manipulations
 
 
 def squeeze(t, dim=None):
-    """Remove singleton dimensions (reference tools.py:14-34)."""
+    """Remove singleton dimensions (reference tools.py:14-34). `dim` counts
+    MODES; a batch tensor's leading batch axis is never squeezed (even at
+    B == 1 — dropping it would silently change batchness)."""
+    off = 1 if t.batch else 0
+    mode_shape = list(t.shape)[off:]
     if dim is None:
-        dim = np.where([s == 1 for s in t.shape])[0]
+        dim = np.where([s == 1 for s in mode_shape])[0]
     if not hasattr(dim, "__len__"):
         dim = [dim]
-    assert np.all(np.array(t.shape)[list(dim)] == 1)
-    idx = [slice(None) for _ in range(len(t.shape))]
+    dim = [d + t.dim() if d < 0 else d for d in dim]
+    assert np.all(np.array(mode_shape)[list(dim)] == 1)
+    idx = [slice(None) for _ in range(t.dim() + off)]
     for m in dim:
-        idx[m] = 0
+        idx[m + off] = 0
     return t[tuple(idx)]
 
 
@@ -50,6 +55,8 @@ def cat(*ts, dim):
         ts = ts[0]
     if len(ts) == 1:
         return ts[0].clone()
+    if dim < 0:
+        dim += ts[0].dim()
     off = 1 if ts[0].batch else 0  # t.shape carries the batch size up front
     if any(
         any(
@@ -140,27 +147,34 @@ def _meshgrid_cores(axes):
 
 
 def flip(t, dim):
-    """Reverse order along modes (reference tools.py:169-190)."""
+    """Reverse order along modes (reference tools.py:169-190). `dim` counts
+    MODES; mode sizes live at t.shape[off + d] for batch tensors, and the
+    mode axis of every core/factor layout is axis -2."""
     if not hasattr(dim, "__len__"):
         dim = [dim]
-    shape = t.shape
+    off = 1 if t.batch else 0
     result = t.clone()
     for d in dim:
-        idx = np.arange(shape[d] - 1, -1, -1)
+        if d < 0:
+            d += t.dim()
+        idx = np.arange(t.shape[d + off] - 1, -1, -1)
         if result.Us[d] is not None:
-            result.Us[d] = result.Us[d][idx, :]
+            result.Us[d] = result.Us[d][..., idx, :]
         else:
             result.cores[d] = result.cores[d][..., idx, :]
     return result
 
 
 def unbind(t, dim):
-    """Slice a tensor along a mode into a list (reference tools.py:193-208)."""
+    """Slice a tensor along a mode into a list (reference tools.py:193-208).
+    Batch tensors yield batch slices: the accessor key carries a leading
+    batch slot so the mode integer is not read as a batch index."""
     if dim < 0:
         dim += t.dim()
+    off = 1 if t.batch else 0
     return [
-        t[tuple([slice(None)] * dim + [sl] + [slice(None)] * (t.dim() - 1 - dim))]
-        for sl in range(t.shape[dim])
+        t[tuple([slice(None)] * (dim + off) + [sl] + [slice(None)] * (t.dim() - 1 - dim))]
+        for sl in range(t.shape[dim + off])
     ]
 
 
@@ -349,14 +363,22 @@ def sample(t, P: int = 1, seed=None):
 
 def hash(t):
     """Representation-independent fingerprint: dot with a fixed random rank-1
-    tensor (reference tools.py:410-424)."""
+    tensor (reference tools.py:410-424). Batch tensors return (B,) per-sample
+    fingerprints (the weight tensor is broadcast over the batch axis, so a
+    sample's hash equals the non-batch hash of that sample)."""
     key = jax.random.key(0)
-    cores = [jnp.ones((1, 1, 1), dtype=t.cores[0].dtype) for _ in range(t.dim())]
+    off = 1 if t.batch else 0
+    fdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    core_shape = (1, 1, 1)
+    cores = [jnp.ones(((t.shape[0],) if off else ()) + core_shape, dtype=t.cores[0].dtype) for _ in range(t.dim())]
     Us = []
-    for sh in t.shape:
+    for sh in list(t.shape)[off:]:
         key, sub = jax.random.split(key)
-        Us.append(jax.random.uniform(sub, (sh, 1), dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
-    w = tn.Tensor(cores, Us)
+        U = jax.random.uniform(sub, (sh, 1), dtype=fdtype)
+        if off:
+            U = jnp.broadcast_to(U[None], (t.shape[0],) + U.shape)
+        Us.append(U)
+    w = tn.Tensor(cores, Us, batch=t.batch)
     return t.dot(w)
 
 
@@ -416,19 +438,18 @@ def pad(t, shape, dim=None, fill_value=0):
 
     t = t.clone()
     for i in range(len(dim)):
+        d = dim[i] + t.dim() if dim[i] < 0 else dim[i]
         mult = fill_value if i == 0 else 0
-        if t.Us[dim[i]] is None:
-            c = t.cores[dim[i]]
-            if c.ndim == 2:
-                extra = mult * jnp.ones((shape[i] - c.shape[0], c.shape[1]), dtype=c.dtype)
-                t.cores[dim[i]] = jnp.concatenate([c, extra], axis=0)
-            else:
-                extra = mult * jnp.ones((c.shape[0], shape[i] - c.shape[1], c.shape[2]), dtype=c.dtype)
-                t.cores[dim[i]] = jnp.concatenate([c, extra], axis=1)
+        # The mode axis of every layout (CP (I,R), TT (Rl,I,Rr), and their
+        # batch variants with a leading B) is axis -2 — same rule as cat
+        if t.Us[d] is None:
+            c = t.cores[d]
+            extra = mult * jnp.ones(c.shape[:-2] + (shape[i] - c.shape[-2], c.shape[-1]), dtype=c.dtype)
+            t.cores[d] = jnp.concatenate([c, extra], axis=-2)
         else:
-            U = t.Us[dim[i]]
-            extra = mult * jnp.ones((shape[i] - U.shape[0], U.shape[1]), dtype=U.dtype)
-            t.Us[dim[i]] = jnp.concatenate([U, extra], axis=0)
+            U = t.Us[d]
+            extra = mult * jnp.ones(U.shape[:-2] + (shape[i] - U.shape[-2], U.shape[-1]), dtype=U.dtype)
+            t.Us[d] = jnp.concatenate([U, extra], axis=-2)
     return t
 
 
@@ -532,6 +553,8 @@ def shift_mode(t, n, shift, eps=1e-3):
     effective bond ranks); other layouts use the eager per-swap loop."""
     N = t.dim()
     assert 0 <= n + shift < N
+    if isinstance(eps, str) and eps != "same":
+        raise ValueError("Relative error '{}' not recognized".format(eps))
     if shift == 0:
         return t
     if any(U is not None for U in t.Us):
