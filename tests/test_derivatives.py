@@ -1,6 +1,7 @@
 """Vector-calculus tests (module untested in the reference; SURVEY.md section 4)."""
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 
 import tntorch_tpu as tn
@@ -78,3 +79,12 @@ def test_active_subspace_dgsm():
     nu = np.asarray(tn.dgsm(t, bounds=[[0, 1]] * 3, marginals=None))
     assert nu[2] <= 1e-10
     assert nu[1] > nu[0] > 0
+
+
+def test_partial_negative_dim_batch():
+    # Negative dims must normalize to modes, not read the batch size as a span
+    t = tn.rand([2, 6, 7], ranks_tt=2, batch=True, key=jax.random.key(21))
+    a = np.asarray(tn.partial(t, -1).numpy())
+    b = np.asarray(tn.partial(t, 1).numpy())
+    assert np.allclose(a, b)
+    tn.gradient(t, dim=[-1])  # default bounds from the mode size, not B

@@ -1,5 +1,6 @@
 """Moments / hadamard_sum / skew / kurtosis tests (untested in the reference)."""
 
+import jax
 import numpy as np
 from scipy import stats
 
@@ -48,3 +49,28 @@ def test_dist_rmse_r2():
     assert abs(float(tn.r_squared(a, b)) - gt_r2) <= 1e-8
     # mixed compressed/dense
     assert abs(float(tn.relative_error(xa, a))) <= 1e-12
+
+
+def test_hadamard_sum_one_mode_non_exact():
+    # The loop-based (rounded) algorithm must not fall through on 1-D input
+    # (the reference returns None there); raw_moment rides this path.
+    t = tn.rand([10], ranks_tt=1, key=jax.random.key(11))
+    hs = tn.hadamard_sum([t, t], algorithm="eig", eps=1e-10)
+    ref = float((np.asarray(t.numpy()) ** 2).sum())
+    assert hs is not None and abs(float(hs) - ref) <= 1e-8
+    assert abs(float(tn.raw_moment(t, 2)) - ref / 10) <= 1e-8
+
+
+def test_mean_negative_dims_with_marginals():
+    t = tn.rand([4, 5], ranks_tt=2, key=jax.random.key(12))
+    d = np.asarray(t.numpy())
+    out = tn.mean(t, dim=[-1, -2], marginals=[np.ones(5), np.ones(4)])
+    assert abs(float(out) - d.mean()) <= 1e-10
+
+
+def test_batch_sum_after_squeeze_semantics():
+    # squeeze counts modes; sum's batch path must pass mode indices unshifted
+    t = tn.rand([2, 3, 4], ranks_tt=2, batch=True, key=jax.random.key(13))
+    d = np.asarray(t.numpy())
+    assert np.allclose(np.asarray(tn.sum(t)), d.sum(axis=(1, 2)))
+    assert np.allclose(np.asarray(tn.sum(t, dim=0).numpy()), d.sum(axis=1))

@@ -48,8 +48,6 @@ def partialset(t, order=1, mask=None, bounds=None):
         for o in range(1, max_order + 1):
             stack.append(diff(stack[-1], n))
             idx = np.concatenate((idx, np.ones(stack[-1].shape[-2]) * o))
-            if o == max_order:
-                break
         cores.append(jnp.concatenate(stack, axis=-2))
         idxs.append(idx)
     if t.batch:
@@ -71,6 +69,7 @@ def partial(t, dim, order=1, bounds=None, periodic=False):
     silently using mode 0's span for every derivative — fixed here)."""
     if not hasattr(dim, "__len__"):
         dim = [dim]
+    dim = [d + t.dim() if d < 0 else int(d) for d in dim]
     off = 1 if t.batch else 0
     if bounds is None:
         bounds = [[0, t.shape[d + off]] for d in dim]
@@ -127,7 +126,7 @@ def gradient(t, dim="all", bounds=None):
     scalar = not hasattr(dim, "__len__")
     if scalar:
         dim = [dim]
-    dim = list(dim)
+    dim = [d + t.dim() if d < 0 else int(d) for d in dim]
     if bounds is None:
         bounds = [[0, t.shape[d + off]] for d in dim]
     if not hasattr(bounds[0], "__len__"):

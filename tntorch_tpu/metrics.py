@@ -227,9 +227,9 @@ def sum(t, dim=None, keepdim=False, _normalize=False):
     if keepdim:
         return result
     if t.batch:
-        # Only the reduced modes are squeezed (squeezing every singleton
-        # could try to drop the batch axis itself when B == 1)
-        return tn.squeeze(result, dim=[d + off for d in dim])
+        # Squeeze exactly the reduced modes (an unrelated singleton mode
+        # must survive a partial reduction); squeeze counts MODES
+        return tn.squeeze(result, dim=dim)
     return tn.squeeze(result)
 
 
@@ -240,7 +240,7 @@ def mean(t, dim=None, marginals=None, keepdim=False):
             dim = range(t.dim())
         if not hasattr(dim, "__len__"):
             dim = [dim]
-        dim = list(dim)
+        dim = [d + t.dim() if d < 0 else int(d) for d in dim]
         # Expectation weights apply only to the REDUCED modes (the reference
         # put uniform 1/sh weights on unreduced modes too, silently scaling
         # partial means, reference metrics.py:236-242); modes in `dim`
@@ -404,6 +404,13 @@ def hadamard_sum(ts, algorithm="exact", eps=None):
             return _hadamard_sum_exact(nested)
 
     N = ts[0].dim()
+    if N == 1:
+        # One mode: nothing to round along the chain — the exact contraction
+        # IS the answer (the reference's loop-based body falls through and
+        # returns None here, reference metrics.py:408-454)
+        nested = tuple(tuple(t.cores) for t in ts)
+        with jax.default_matmul_precision(matmul_precision()):
+            return _hadamard_sum_exact(nested)
     thiscores = get_tensor([t.cores[0] for t in ts])
     for n in range(1, N):
         nextcores = get_tensor([t.cores[n] for t in ts])
