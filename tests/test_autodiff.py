@@ -136,3 +136,15 @@ def test_cross_loss_warns_then_raises_clearly():
         with pytest.raises(ValueError, match="traced value"):
             tn.optimize(t, loss_cross, max_iter=3, tol=None, verbose=False)
     assert any("EAGER" in str(w.message) for w in rec)
+
+
+def test_optimize_rejects_non_tensor_params():
+    class P:
+        requires_grad = True
+
+    t = tn.rand([4, 4], ranks_tt=2, requires_grad=True, key=jax.random.key(7))
+    try:
+        tn.optimize([t, P()], lambda a, b: tn.normsq(a), verbose=False)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "tn.Tensor" in str(e)

@@ -168,3 +168,42 @@ def test_fused_minimize_matches_unfused():
     )
     assert abs(inf_u["min"] - inf_f["min"]) <= 1e-12
     assert tuple(inf_u["argmin"]) == tuple(inf_f["argmin"])
+
+
+def test_cross_one_mode_fused():
+    # N == 1 must work under fuse=True (the fused chunk packing is
+    # degenerate for a single core; round-3 review crash)
+    t1 = tn.Tensor([jnp.asarray(np.random.default_rng(0).random((1, 8, 1)))])
+    e = tn.cross(function=jnp.exp, tensors=[t1], fuse=True, verbose=False)
+    assert np.allclose(np.asarray(e.numpy()), np.exp(np.asarray(t1.numpy())), atol=1e-6)
+
+
+def test_fused_info_compile_time_split():
+    # First-compile wall time must land in compile_time, not eval_time
+    def f(a, b):
+        return a * b + 1.0
+
+    ta = tn.rand([8] * 3, ranks_tt=3, key=jax.random.key(31))
+    tb = tn.rand([8] * 3, ranks_tt=3, key=jax.random.key(32))
+    _, info = tn.cross(function=f, tensors=[ta, tb], fuse=True, verbose=False,
+                       return_info=True, max_iter=6)
+    assert "compile_time" in info
+    # Warm second call books eval_time (signatures already seen)
+    _, info2 = tn.cross(function=f, tensors=[ta, tb], fuse=True, verbose=False,
+                        return_info=True, max_iter=6)
+    assert info2["eval_time"] > 0
+
+
+def test_minimize_negation_wrapper_cached():
+    from tntorch_tpu.cross import _negated
+
+    f = lambda v: v
+    assert _negated(f) is _negated(f)
+
+
+def test_fused_minimize_verbose_prints_best(capsys):
+    x = tn.rand([10] * 3, ranks_tt=3, key=jax.random.key(33))
+    mn = tn.minimum(x, fuse=True, verbose=True)
+    out = capsys.readouterr().out
+    assert "best:" in out and "eps:" not in out.split("\n")[0]
+    assert abs(float(mn) - float(tn.minimum(x, fuse=False, verbose=False))) <= 1e-8

@@ -169,3 +169,63 @@ def test_rect_maxvol_device_matches_host():
         np.testing.assert_allclose(
             np.asarray(Cd)[np.asarray(idv)], np.eye(len(idv)), atol=1e-10
         )
+
+
+def test_round_tt_fixed_complex():
+    # The QR-path fixed-rank kernel must build a HERMITIAN Gram for complex
+    # cores (round-3 review: M @ M.T picked a wrong subspace, 0.68 rel err)
+    from tntorch_tpu.ops.rounding import round_tt_fixed, tt_full
+
+    rng = np.random.default_rng(5)
+    cores = [
+        rng.standard_normal((1, 6, 2)) + 1j * rng.standard_normal((1, 6, 2)),
+        rng.standard_normal((2, 6, 2)) + 1j * rng.standard_normal((2, 6, 2)),
+        rng.standard_normal((2, 6, 1)) + 1j * rng.standard_normal((2, 6, 1)),
+    ]
+
+    def padc(c, rl, rr):
+        z = np.zeros((rl, c.shape[1], rr), dtype=c.dtype)
+        z[: c.shape[0], :, : c.shape[2]] = c
+        return z
+
+    padded = [padc(cores[0], 1, 3), padc(cores[1], 3, 3), padc(cores[2], 3, 1)]
+    out = round_tt_fixed(tuple(jnp.asarray(c) for c in padded), 2)
+    ref = np.asarray(tt_full(tuple(jnp.asarray(c) for c in cores)))
+    err = np.linalg.norm(np.asarray(tt_full(tuple(out))) - ref) / np.linalg.norm(ref)
+    assert err <= 1e-12
+
+
+def test_round_tt_gram_accepts_rank_list():
+    from tntorch_tpu.ops.rounding import round_tt_gram
+
+    rng = np.random.default_rng(6)
+    cores = [
+        jnp.asarray(rng.standard_normal((1, 8, 6))),
+        jnp.asarray(rng.standard_normal((6, 8, 6))),
+        jnp.asarray(rng.standard_normal((6, 8, 1))),
+    ]
+    out = round_tt_gram(cores, [4, 5])
+    assert [c.shape for c in out] == [(1, 8, 4), (4, 8, 5), (5, 8, 1)]
+
+
+def test_tt_svd_rank_list_monotone_cap():
+    # Per-mode rmax lists must respect the chain cap r_k <= r_{k-1} * I_{k-1}
+    # (round-3 review: [1, 32] on a (2,2,64) array crashed in a reshape)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((2, 2, 64)))
+    for algo in ["gram", "randomized"]:
+        t = tn.Tensor(data, ranks_tt=[1, 32], algorithm=algo)
+        assert list(t.ranks_tt)[1] == 1 and list(t.ranks_tt)[2] <= 2
+
+
+def test_device_lu_pivots_rank_deficient_chunked():
+    # Tournament pivoting on a chunked rank-deficient tall matrix must not
+    # return padded-row indices (which clamp to duplicates)
+    from tntorch_tpu.maxvol import _device_lu_pivots
+
+    rng = np.random.default_rng(1)
+    A = np.zeros((300000, 4))
+    A[:3] = rng.standard_normal((3, 4))
+    piv = np.asarray(_device_lu_pivots(jnp.asarray(A)))
+    assert (piv < 300000).all()
+    assert len(set(piv.tolist())) == 4

@@ -75,3 +75,24 @@ def test_matrix_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(tn.cp_multiply(cm2, v)), np.asarray(tn.cp_multiply(cm, v)), rtol=1e-12
     )
+
+
+def test_cholesky_rejects_non_spd_kron():
+    # Odd number of negative-trace Kronecker blocks = non-SPD input: raise
+    # instead of silently returning NaN factors (round-3 review)
+    M = np.kron(-np.eye(2) * 2.0, np.eye(2))
+    m = tn.TTMatrix(jnp.asarray(M), ranks=[1], input_dims=[2, 2], output_dims=[2, 2])
+    try:
+        m.cholesky()
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "SPD" in str(e)
+
+
+def test_torch_bfloat16_input():
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    x = torch.randn(4, 4, 4, dtype=torch.bfloat16)
+    t = tn.Tensor(x, ranks_tt=4)
+    assert np.isfinite(np.asarray(t.numpy())).all()

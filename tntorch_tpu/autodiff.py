@@ -48,7 +48,15 @@ def _get_params(tensors):
                            if U is not None and m not in frozen},
                 }
         elif getattr(t, "requires_grad", False):
-            params[i] = t
+            # JAX arrays are immutable, so a trained bare array could never
+            # be written back to the caller — silently dropping the result
+            # would be worse than refusing (the reference's torch path works
+            # only because torch mutates parameters in place)
+            raise ValueError(
+                "optimize() can only train tn.Tensor inputs (position {}): "
+                "wrap the parameter in a tn.Tensor (e.g. a 1-mode tensor) so "
+                "the trained value can be written back".format(i)
+            )
     return params
 
 
@@ -184,18 +192,8 @@ def optimize(
             _print_status(it, max_iter, loss_parts, losses_hist, start)
             print()
     if block_iters > 1:
-        final = _set_params(tensors, params)
-        for t, tf in zip(tensors, final):
-            if isinstance(t, tn.Tensor) and t.requires_grad:
-                t.cores = tf.cores
-                t.Us = tf.Us
-        if verbose:
-            _print_status(it, max_iter, loss_parts, losses_hist, start)
-            print(
-                " <- converged (tol={})".format(tol)
-                if converged
-                else " <- max_iter was reached: {}".format(max_iter)
-            )
+        _finalize(tensors, params, converged, tol, max_iter, verbose,
+                  it, loss_parts, losses_hist, start)
         return losses_hist
 
     while True:
@@ -253,7 +251,15 @@ def optimize(
             print()
         it += 1
 
-    # Write back in place
+    _finalize(tensors, params, converged, tol, max_iter, verbose,
+              it, loss_parts, losses_hist, start)
+    return losses_hist
+
+
+def _finalize(tensors, params, converged, tol, max_iter, verbose,
+              it, loss_parts, losses_hist, start):
+    """Write trained cores/factors back in place and print the exit status
+    (shared by the blocked and per-step exits)."""
     final = _set_params(tensors, params)
     for t, tf in zip(tensors, final):
         if isinstance(t, tn.Tensor) and t.requires_grad:
@@ -265,7 +271,6 @@ def optimize(
             print(" <- converged (tol={})".format(tol))
         else:
             print(" <- max_iter was reached: {}".format(max_iter))
-    return losses_hist
 
 
 def _eager_step(p, s, optimizer, total_loss_fn):

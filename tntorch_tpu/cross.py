@@ -62,6 +62,34 @@ def _split_batch_samples(tensors):
     ]
 
 
+_neg_cache = None  # weakref.WeakKeyDictionary, created lazily
+
+
+def _negated(function):
+    """A negation wrapper CACHED per user function: cross()'s fused-chunk
+    trace cache keys on id(function), so a fresh `lambda *x: -f(*x)` per
+    maximum()/argmax() call (or per batch sample) would force a full XLA
+    re-trace of the fused sweep every time."""
+    global _neg_cache
+    import weakref
+
+    if _neg_cache is None:
+        _neg_cache = weakref.WeakKeyDictionary()
+    try:
+        w = _neg_cache.get(function)
+    except TypeError:  # unhashable callable
+        w = None
+    if w is None:
+        def w(*x):
+            return -function(*x)
+
+        try:
+            _neg_cache[function] = w
+        except TypeError:
+            pass
+    return w
+
+
 def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
     """Estimate the minimum of a tensor / function of tensors.
 
@@ -113,7 +141,7 @@ def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
             for s in samples
         ])
     _, info = cross(
-        **kwargs, function=lambda *x: -function(*x), tensors=tensors, rmax=rmax,
+        **kwargs, function=_negated(function), tensors=tensors, rmax=rmax,
         max_iter=max_iter, verbose=verbose, return_info=True, _minimize=True,
     )
     return -info["min"]
@@ -132,7 +160,7 @@ def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
             for s in samples
         ]
     _, info = cross(
-        **kwargs, tensors=tensors, function=lambda *x: -function(*x), rmax=rmax,
+        **kwargs, tensors=tensors, function=_negated(function), rmax=rmax,
         max_iter=max_iter, verbose=verbose, return_info=True, _minimize=True,
     )
     return info["argmin"]
@@ -432,7 +460,8 @@ def _eval_points_body(tensor_cores, X):
 _eval_points_jit = jax.jit(_eval_points_body)
 
 
-def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat, mz0=None):
+def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat, mz0=None,
+                 ys_val_in=None):
     """Run len(extras)+1 cross iterations as ONE traced program, growing the
     ranks on-device between them (speculative execution: the convergence
     check happens on the host only once per chunk, so the tunnel round-trip
@@ -454,9 +483,15 @@ def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat, mz0=None)
         K = len(tensor_cores)
         N = len(tensor_cores[0])
         dtype0 = tensor_cores[0][0].dtype
-        ys_val = f(*_eval_points_body(tensor_cores, Xs_val_mat))
-        if ys_val.ndim == 2:
-            ys_val = ys_val[:, 0]
+        if ys_val_in is None:
+            # First chunk: evaluate the validation targets in-program; later
+            # chunks receive them as a carried device array (re-evaluating f
+            # at val_size points per chunk would be pure waste)
+            ys_val = f(*_eval_points_body(tensor_cores, Xs_val_mat))
+            if ys_val.ndim == 2:
+                ys_val = ys_val[:, 0]
+        else:
+            ys_val = ys_val_in
         norm_ys_val = jnp.linalg.norm(ys_val)
         if rcols is not None:
             base = _fused_rinterfaces(tensor_cores, rcols)
@@ -530,7 +565,7 @@ def _fused_chunk(f, tensor_cores, rcols, rints_in, extras, Xs_val_mat, mz0=None)
             )
         else:
             mz_stack = None
-        return tuple(outs), stats, packed_rsets, rints, mz_stack
+        return tuple(outs), stats, packed_rsets, rints, mz_stack, ys_val
 
 
 def _get_fused_chunk(f, cache_key=None):
@@ -549,6 +584,7 @@ def _get_fused_chunk(f, cache_key=None):
         fn = jax.jit(functools.partial(_fused_chunk, f))
         if len(_fused_iter_cache) > 128:
             _fused_iter_cache.clear()
+            _fused_seen_sigs.clear()  # ids may be reused by new wrappers
         # Keep f (and through its closure, the user function) alive so any
         # id() component of the key stays valid
         _fused_iter_cache[key] = (fn, f)
@@ -557,6 +593,24 @@ def _get_fused_chunk(f, cache_key=None):
 
 
 _fused_iter_cache: dict = {}
+
+# Argument signatures already traced+compiled per fused-chunk wrapper: a
+# first-seen signature's wall time is XLA compile, not evaluation, and is
+# booked to info["compile_time"] instead of info["eval_time"]
+_fused_seen_sigs: set = set()
+
+
+def _arg_sig(fn_id, args):
+    """Hashable (treedef, shapes/dtypes) signature of a jitted call's inputs."""
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    return (
+        fn_id,
+        str(treedef),
+        tuple(
+            (getattr(l, "shape", None), str(getattr(l, "dtype", type(l))))
+            for l in leaves
+        ),
+    )
 
 
 def _f_is_traceable(f, K, dtype):
@@ -706,12 +760,14 @@ def cross(
     dtype = tensors[0].cores[0].dtype
     if fuse is None or fuse == "auto":
         fused = (
-            not record_samples and mesh is None
+            not record_samples and mesh is None and N > 1
             and jax.default_backend() != "cpu"
             and _f_is_traceable(f, K, dtype)
         )
     else:
-        fused = bool(fuse) and not record_samples and mesh is None
+        # N == 1 has no interior rank edges: the chunk program's rset packing
+        # is degenerate, and a 1-mode cross is one evaluation anyway
+        fused = bool(fuse) and not record_samples and mesh is None and N > 1
         if fused and not _f_is_traceable(f, K, dtype):
             fused = False
 
@@ -739,7 +795,8 @@ def cross(
     start = time.time()
     converged = False
 
-    info = {"nsamples": 0, "eval_time": 0, "val_epss": [], "min": 0, "argmin": None}
+    info = {"nsamples": 0, "eval_time": 0, "compile_time": 0, "val_epss": [],
+            "min": 0, "argmin": None}
     if record_samples:
         # One column per INPUT TENSOR (= per coordinate in domain mode,
         # where the inputs are the meshgrid tensors; the reference sized
@@ -858,20 +915,22 @@ def cross(
         "arg": jnp.zeros((N,), dtype=jnp.int32),
     }
 
+    def _grow_schedule(curRs):
+        """Kickrank rank-growth recurrence (shared by the fused and eager
+        paths so their schedules and rng streams cannot desynchronize)."""
+        newRs = curRs.copy()
+        newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
+        for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
+            newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
+        return newRs
+
+    def _draw_extra(newRs):
+        return np.hstack(
+            [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
+            + [np.zeros([max(newRs), 1], dtype=int)]
+        )
+
     if fused:
-
-        def _grow_schedule(curRs):
-            newRs = curRs.copy()
-            newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
-            for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
-                newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
-            return newRs
-
-        def _draw_extra(newRs):
-            return np.hstack(
-                [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
-                + [np.zeros([max(newRs), 1], dtype=int)]
-            )
 
         def _nsamples(Rcur):
             return int(
@@ -882,6 +941,7 @@ def cross(
 
         rints_dev = None
         rcols_dev = _host_rcols()
+        ys_dev = None  # validation targets: computed by the first chunk, carried after
         # Minimize state carried ACROSS chunks (best, has_best, argbest);
         # None disables the transform inside the chunk program
         mz_state = (
@@ -917,17 +977,26 @@ def cross(
                 extras_chunk = [empty] * (S - 1)
                 schedule = [Rs] * S
             it_start = time.time()
+            args = (tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat,
+                    mz_state, ys_dev)
+            sig = _arg_sig(id(_fused_chunk_jit), args)
+            first_compile = sig not in _fused_seen_sigs
             with tn.utils.trace_annotation("tn.cross:fused_chunk"):
-                outs, stats_dev, packed_rsets, rints_next, mz_stack = _fused_chunk_jit(
-                    tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat,
-                    mz_state,
-                )
+                (outs, stats_dev, packed_rsets, rints_next, mz_stack,
+                 ys_dev) = _fused_chunk_jit(*args)
             # ONE host round trip per chunk (each fetched array costs a full
             # tunnel round trip, so eps + finite flags ride ONE packed array;
             # the final rsets are fetched only if the loop continues)
             stats = np.asarray(stats_dev)
             epss, finites = stats[:S], stats[S:] > 0.5
-            info["eval_time"] += time.time() - it_start
+            # A chunk signature seen for the first time pays the XLA
+            # trace+compile (tens of seconds through a TPU tunnel); booking
+            # that into eval_time would make the reported evals/s garbage
+            if first_compile:
+                _fused_seen_sigs.add(sig)
+                info["compile_time"] += time.time() - it_start
+            else:
+                info["eval_time"] += time.time() - it_start
             sel = S - 1
             for s in range(S):
                 if not bool(finites[s]):
@@ -945,7 +1014,15 @@ def cross(
                         "iter: {: <{}}".format(i + s, len("{}".format(max_iter)) + 1),
                         end="",
                     )
-                    print("| eps: {:.3e}".format(val_eps), end="")
+                    if _minimize and mz_stack is not None:
+                        best_s = (
+                            float(mz_stack[0][s])
+                            if bool(mz_stack[1][s])
+                            else info["min"]
+                        )
+                        print("| best: {:.8g}".format(best_s), end="")
+                    else:
+                        print("| eps: {:.3e}".format(val_eps), end="")
                     print(
                         " | time: {:8.4f} | largest rank: {:3d}".format(
                             time.time() - start, int(max(schedule[s]))
@@ -1143,14 +1220,8 @@ def cross(
         if converged:
             break
         elif i < max_iter - 1 and kickrank is not None:  # grow ranks
-            newRs = Rs.copy()
-            newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
-            for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
-                newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
-            extra = np.hstack(
-                [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
-                + [np.zeros([max(newRs), 1], dtype=int)]
-            )
+            newRs = _grow_schedule(Rs)
+            extra = _draw_extra(newRs)
             for n in range(N - 1):
                 if newRs[n + 1] > Rs[n + 1]:
                     rsets[n] = np.vstack([rsets[n], extra[: newRs[n + 1] - Rs[n + 1], n:]])
@@ -1163,10 +1234,17 @@ def cross(
         )
 
     if verbose:
+        # evals/s from eval_time alone when any warm chunk ran; a run that
+        # never escaped first-compiles has no meaningful throughput sample
+        denom = info["eval_time"] if info["eval_time"] > 0 else (
+            info["eval_time"] + info["compile_time"]
+        )
         print(
-            "Did {} function evaluations, which took {:.4g}s ({:.4g} evals/s)".format(
+            "Did {} function evaluations, which took {:.4g}s{} ({:.4g} evals/s)".format(
                 info["nsamples"], info["eval_time"],
-                info["nsamples"] / max(info["eval_time"], 1e-12),
+                " (+{:.4g}s compile)".format(info["compile_time"])
+                if info["compile_time"] > 0 else "",
+                info["nsamples"] / max(denom, 1e-12),
             )
         )
         print()

@@ -166,10 +166,27 @@ def _device_lu_pivots(A):
     perms = jax.lax.map(lambda b: jax.lax.linalg.lu(b)[2], blocks)
     cand = (perms[:, :r] + (jnp.arange(m) * chunk)[:, None]).reshape(-1)
     _, _, perm2 = jax.lax.linalg.lu(Ap[cand])
-    return cand[perm2[:r]]
+    # A rank-deficient block's LU can promote PADDED zero rows (global index
+    # >= n) into the candidate list; JAX would clamp those to n-1 on gather,
+    # silently duplicating pivots. Keep LU order but take the first r VALID
+    # candidates (blocks are disjoint, so valid candidates are distinct and
+    # there are always >= r of them).
+    piv = cand[perm2]
+    order = jnp.argsort(piv >= n, stable=True)
+    return piv[order][:r]
 
 
 def _maxvol_device_impl(A, tol, max_iters):
+    import jax
+
+    # Pivot selection compounds contraction error over iterations: pin exact
+    # matmuls regardless of the ambient policy (TPU's f32 default is
+    # single-pass bf16 — noisy row rankings pick wrong pivots)
+    with jax.default_matmul_precision("highest"):
+        return _maxvol_device_body(A, tol, max_iters)
+
+
+def _maxvol_device_body(A, tol, max_iters):
     import jax
     import jax.numpy as jnp
 
@@ -206,6 +223,13 @@ def _rect_maxvol_device_impl(A, tol, maxK, minK, start_maxvol_iters):
     Returns (index [maxK] padded int32, C [n x maxK] padded, K scalar): the
     caller slices to K outside jit (or consumes the padded arrays masked).
     """
+    import jax
+
+    with jax.default_matmul_precision("highest"):
+        return _rect_maxvol_device_body(A, tol, maxK, minK, start_maxvol_iters)
+
+
+def _rect_maxvol_device_body(A, tol, maxK, minK, start_maxvol_iters):
     import jax
     import jax.numpy as jnp
 

@@ -74,15 +74,7 @@ class TTMatrix:
 
     def full(self) -> jax.Array:
         """Decompress to a dense (batch of) matrix (reference `torch()`, matrix.py:113-151)."""
-        cores = [
-            (
-                c.reshape(-1, c.shape[1], self.input_dims[i] * self.output_dims[i], c.shape[-1])
-                if self.batch
-                else c.reshape(c.shape[0], -1, c.shape[-1])
-            )
-            for i, c in enumerate(self.cores)
-        ]
-        tensor = tn.Tensor(cores, batch=self.batch).full()
+        tensor = self.flatten().full()
         rows = int(np.prod(self.input_dims))
         cols = int(np.prod(self.output_dims))
         shape = [d for pair in zip(self.input_dims, self.output_dims) for d in pair]
@@ -202,6 +194,14 @@ class TTMatrix:
             if len(negs) % 2 == 0:
                 for i in negs:
                     blocks[i] = -blocks[i]
+            else:
+                # An odd number of negative blocks means the full Kronecker
+                # product is not SPD — jnp.linalg.cholesky would silently
+                # return NaN factors (torch raises here; match that)
+                raise ValueError(
+                    "cholesky requires an SPD matrix: an odd number of "
+                    "Kronecker blocks have negative trace"
+                )
         cho_cores = []
         for block in blocks:
             core_cho = jnp.linalg.cholesky(block)

@@ -33,7 +33,10 @@ def _cap_ranks(shape, rmax) -> Tuple[int, ...]:
     ranks = [1]
     for k in range(1, N):
         full = min(int(np.prod(shape[:k])), int(np.prod(shape[k:])))
-        ranks.append(min(int(rmax[k - 1]), full))
+        # Monotone chain cap r_k <= r_{k-1} * I_{k-1}: the mode-k unfolding
+        # has only r_{k-1} * I_{k-1} rows, so a larger target rank would
+        # make the kernels' U.reshape(r_prev, I, r) impossible
+        ranks.append(min(int(rmax[k - 1]), full, ranks[-1] * int(shape[k - 1])))
     ranks.append(1)
     return tuple(ranks)
 

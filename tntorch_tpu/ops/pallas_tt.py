@@ -124,8 +124,16 @@ def tt_eval(cores, X, use_pallas: Optional[bool] = None):
 
     B = X.shape[0]
     if use_pallas is None:
-        vmem_bytes = sum(
-            int(np.prod(c.shape)) * c.dtype.itemsize for c in cores
+        itemsize = cores[0].dtype.itemsize
+        vmem_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in cores)
+        # The kernel also materializes, per mode k: W/lanes/mask/Wm tiles of
+        # (TILE_B x I_k*R_{k+1}) and the fold matrix S + its iotas of
+        # (I_k*R_{k+1} x R_{k+1}) — that scratch, not the summed core
+        # bytes, is what overflows scoped VMEM at large I*R (conservative:
+        # falling back to the XLA chain is always correct)
+        scratch = max(
+            (4 * TILE_B + 3 * c.shape[-1]) * c.shape[-2] * c.shape[-1] * itemsize
+            for c in cores
         )
         use_pallas = (
             HAVE_PALLAS
@@ -134,8 +142,8 @@ def tt_eval(cores, X, use_pallas: Optional[bool] = None):
             and cores[0].shape[0] == 1
             and cores[-1].shape[-1] == 1
             and cores[0].dtype == jnp.float32
-            # All cores must stay VMEM-resident (module docstring budget)
-            and vmem_bytes <= 12 * 2**20
+            # Everything must stay VMEM-resident (module docstring budget)
+            and vmem_bytes + scratch <= 12 * 2**20
         )
     if use_pallas:
         return pallas_tt_eval(tuple(cores), X)

@@ -92,11 +92,13 @@ def _round_tt_fixed_body(cores, rmax):
         Rl, I, Rr = cores[mu].shape
         r = min(rmax, Rl)
         M = cores[mu].reshape(Rl, I * Rr)
-        # Top-r left singular subspace via the (small) Gram matrix
-        G = M @ M.T
+        # Top-r left singular subspace via the (small) HERMITIAN Gram matrix
+        # (conjugation is a no-op for real dtypes; without it, complex cores
+        # get a non-Hermitian M M^T and eigh picks a wrong subspace)
+        G = M @ M.conj().T
         _, V = jnp.linalg.eigh(G)  # ascending
         U = V[:, ::-1][:, :r]  # (Rl, r)
-        cores[mu] = (U.T @ M).reshape(r, I, Rr)
+        cores[mu] = (U.conj().T @ M).reshape(r, I, Rr)
         prev = cores[mu - 1]
         cores[mu - 1] = jnp.einsum("ijk,kl->ijl", prev, U)
     return cores
@@ -194,6 +196,8 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
 
     precision = resolve_precision(precision)
     edge_solver = resolve_edge_solver(edge_solver, precision)
+    if not isinstance(rmax, int):
+        rmax = tuple(int(r) for r in rmax)  # per-edge ranks; jit-static
     if precision == "bf16":
         return _round_tt_gram_bf16_jit(tuple(cores), rmax, edge_solver)
     # (A B=1 ride of the batched fused-Pallas right chain was measured

@@ -164,11 +164,21 @@ def default_dtype() -> jnp.dtype:
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _torch_to_numpy(x) -> np.ndarray:
+    t = x.detach().cpu()
+    try:
+        return t.numpy()
+    except TypeError:
+        # NumPy has no bfloat16 (torch's common accelerator dtype): widen
+        # to float32 — lossless, since bf16 is a truncated f32
+        return t.float().numpy()
+
+
 def asarray(x: Any, dtype: Optional[Any] = None) -> jax.Array:
     """Convert NumPy / PyTorch / JAX / scalar input to a jnp array."""
     mod = type(x).__module__
     if mod.startswith("torch"):
-        x = x.detach().cpu().numpy()
+        x = _torch_to_numpy(x)
     return jnp.asarray(x, dtype=dtype)
 
 
@@ -176,7 +186,7 @@ def to_numpy(x: Any) -> np.ndarray:
     """Convert torch/jax/NumPy input to a NumPy array."""
     mod = type(x).__module__
     if mod.startswith("torch"):
-        return x.detach().cpu().numpy()
+        return _torch_to_numpy(x)
     return np.asarray(x)
 
 
