@@ -430,3 +430,85 @@ def test_sharded_checkpoint_roundtrips_batch_idxs(tmp_path):
     for ia, ib in zip(t.idxs, b.idxs):
         assert np.array_equal(np.asarray(ia), np.asarray(ib))
     assert np.allclose(b.numpy(), t.numpy())
+
+
+def test_round_tucker_eager_honors_dim():
+    # The eager fallback (pre-existing Us) must truncate ONLY the requested
+    # modes (the reference sweeps all modes regardless of dim — a defect)
+    t = tn.rand((8, 8, 8), ranks_tt=4, ranks_tucker=6, key=jax.random.key(40))
+    t.round_tucker(rmax=2, dim=[1])
+    assert list(t.ranks_tucker) == [6, 2, 6]
+
+
+def test_one_mode_cp_scalar_add():
+    # (I, R) + (1, I, 1) numpy-broadcasts to R-fold inflation without the
+    # column-sum lift
+    t = tn.rand((5,), ranks_cp=3, key=jax.random.key(41))
+    d = np.array(t.numpy())
+    assert np.abs(np.array((t + 1.0).numpy()) - (d + 1.0)).max() <= 1e-12
+
+
+def test_setitem_non_trailing_int_keys():
+    t2 = tn.rand((5, 5), ranks_tt=2, key=jax.random.key(42))
+    d2 = np.array(t2.numpy())
+    t2[1] = np.zeros(5)
+    d2[1] = 0
+    assert np.allclose(np.array(t2.numpy()), d2)
+    t3 = tn.rand((4, 5, 6), ranks_tt=2, key=jax.random.key(43))
+    d3 = np.array(t3.numpy())
+    t3[:, 2, :] = np.ones((4, 6))
+    d3[:, 2, :] = 1
+    assert np.allclose(np.array(t3.numpy()), d3)
+    t4 = tn.rand((4, 5, 6), ranks_tt=2, key=jax.random.key(44))
+    d4 = np.array(t4.numpy())
+    t4[2, 3] = np.ones(6)
+    d4[2, 3] = 1
+    assert np.allclose(np.array(t4.numpy()), d4)
+
+
+def test_setitem_cp_tensor():
+    t = tn.rand((5, 5), ranks_cp=3, key=jax.random.key(45))
+    d = np.array(t.numpy())
+    t[1] = np.ones(5)
+    d[1] = 1
+    assert np.allclose(np.array(t.numpy()), d)
+
+
+def test_setitem_np_integer_batch_key():
+    t = tn.rand((3, 5, 5), ranks_tt=2, batch=True, key=jax.random.key(46))
+    d = np.array(t.numpy())
+    t[np.int64(0)] = np.ones((5, 5))
+    d[0] = 1
+    assert np.allclose(np.array(t.numpy()), d)
+
+
+def test_round_combined_batch():
+    t = tn.rand((3, 6, 6, 6), ranks_tt=4, batch=True, key=jax.random.key(47))
+    d = np.array(t.numpy())
+    tn.round(t, eps=1e-10)
+    assert np.allclose(np.array(t.numpy()), d, atol=1e-8)
+
+
+def test_batch_eq_and_scalar_mul_dtype():
+    t = tn.rand((3, 6, 6), ranks_tt=2, batch=True, key=jax.random.key(48))
+    assert (t == t) is True
+    assert not (t == t * 2.0)
+    t32 = tn.Tensor([
+        jnp.asarray(np.random.rand(1, 4, 2), dtype=jnp.float32),
+        jnp.asarray(np.random.rand(2, 4, 1), dtype=jnp.float32),
+    ])
+    assert (t32 * 2.0).cores[0].dtype == jnp.float32
+
+
+def test_rpow_scalar_base():
+    t = tn.rand((4, 4), ranks_tt=2, key=jax.random.key(49)) + 2
+    r = 2.0 ** t
+    assert np.allclose(np.array(r.numpy()), 2.0 ** np.array(t.numpy()), atol=1e-6)
+
+
+def test_gram_init_with_tucker_ranks():
+    # gram TT-stage + Tucker ranks must coexist (and keep the factors)
+    data = jnp.asarray(np.random.default_rng(50).random((6, 6, 6)))
+    t = tn.Tensor(data, ranks_tt=3, ranks_tucker=4, algorithm="gram")
+    assert list(t.ranks_tucker) == [4, 4, 4]
+    assert list(t.ranks_tt) == [1, 3, 3, 1]

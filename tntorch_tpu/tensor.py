@@ -341,7 +341,13 @@ class Tensor:
                 )
                 self.Us = [None] * self.dim()
                 if ranks_tucker is not None:
-                    self.round_tucker(rmax=ranks_tucker, algorithm=algorithm)
+                    # round_tucker knows 'svd'/'eig' only; the TT-stage-only
+                    # algorithms map to their accuracy class ('gram' and
+                    # 'randomized' are Gram/eigh-based)
+                    tucker_algorithm = (
+                        "eig" if algorithm in ("gram", "randomized") else algorithm
+                    )
+                    self.round_tucker(rmax=ranks_tucker, algorithm=tucker_algorithm)
                 if ranks_tt is not None:
                     self.round_tt(rmax=ranks_tt, algorithm=algorithm)
 
@@ -460,12 +466,20 @@ class Tensor:
             )
 
         if self.dim() == 1:  # special case (reference tensor.py:479-485)
+            m = self._m
+
+            def _one_mode_tt(t):
+                # A CP factor's dense values are its COLUMN SUM: raw
+                # core-level broadcasting of (I, R) + (1, I, 1) would add
+                # the operand once per CP column (R-fold inflation)
+                c = t.decompress_tucker_factors().cores[0]
+                if c.ndim == m:
+                    c = c.sum(axis=-1)[..., None]
+                    c = c[:, None] if self.batch else c[None]
+                return c
+
             return Tensor(
-                [
-                    self.decompress_tucker_factors().cores[0]
-                    + other.decompress_tucker_factors().cores[0]
-                ],
-                batch=self.batch,
+                [_one_mode_tt(self) + _one_mode_tt(other)], batch=self.batch
             )
 
         m = self._m
@@ -552,9 +566,14 @@ class Tensor:
                 c0 = result.cores[0]
                 result.cores[0] = c0 * sign.reshape((-1,) + (1,) * (c0.ndim - 1)).astype(c0.dtype)
                 return result
+            # Keep the cores' dtype: a bare np.float64 factor would silently
+            # promote f32 cores under jax_enable_x64 (the batch branch above
+            # already casts)
             factor = np.abs(other) ** (1.0 / self.dim())
-            result.cores = [c * factor for c in result.cores]
-            result.cores[0] = result.cores[0] * np.sign(other)
+            result.cores = [c * jnp.asarray(factor, dtype=c.dtype) for c in result.cores]
+            result.cores[0] = result.cores[0] * jnp.asarray(
+                np.sign(other), dtype=result.cores[0].dtype
+            )
             return result
 
         m = self._m
@@ -619,6 +638,10 @@ class Tensor:
             return tn.cross(function=lambda x, y: x**y, tensors=[self, other], verbose=False)
         return tn.cross(function=lambda x: x**other, tensors=[self], verbose=False)
 
+    def __rpow__(self, other):
+        # scalar ** tensor (the one reflected op the reference family lacks)
+        return tn.cross(function=lambda x: other**x, tensors=[self], verbose=False)
+
     # Boolean algebra on {0,1} tensors (reference tensor.py:809-830)
     def __invert__(self):
         return 1 - self
@@ -634,7 +657,8 @@ class Tensor:
 
     def __eq__(self, other):
         try:
-            return bool(tn.dist(self, other) <= 1e-14)
+            # dist is (B,) for batch tensors: equal iff EVERY sample matches
+            return bool(jnp.all(tn.dist(self, other) <= 1e-14))
         except jax.errors.TracerBoolConversionError as e:
             raise ValueError(
                 "Tensor == returns a Python bool (reference semantics) and "
@@ -1044,6 +1068,11 @@ class Tensor:
             t2 = self.decompress_tucker_factors()
             self.cores = t2.cores
             self.Us = t2.Us
+        if any(c.ndim == self._m for c in self.cores):
+            # CP factors: convert to TT form first — the add-core scatters
+            # below are TT-shaped (a CP factor's axis -2 is its rank, so the
+            # raw indexing would silently compare/scatter the wrong axis)
+            self._cp_to_tt()
         key = self._process_key(key)
         scalar = False
         if isinstance(value, np.ndarray) or type(value).__module__.startswith("torch") or isinstance(value, jax.Array):
@@ -1053,13 +1082,20 @@ class Tensor:
                 scalar = True
             else:
                 if self.batch:
-                    if isinstance(key[0], int):
+                    if isinstance(key[0], (int, np.integer)):
                         value = value[None]
                     if value.ndim == 1:
                         value = value[:, None]
                 value = Tensor(value, batch=self.batch)
         elif isinstance(value, Tensor):
-            pass
+            if any(c.ndim == value._m for c in value.cores) or any(
+                U is not None for U in value.Us
+            ):
+                # Same TT normalization as `self`: the scatters consume
+                # 3D/4D TT value cores
+                value = value.clone()
+                value = value.decompress_tucker_factors(_clone=False)
+                value._cp_to_tt()
         else:
             scalar = True
 
@@ -1148,18 +1184,21 @@ class Tensor:
                     add_core = add_core * value
             else:
                 if len(value.shape) != len(key):
-                    if k == len(value.shape) - 1:
+                    # An int-keyed mode (selection width 1) was dropped from
+                    # `value`: re-insert the singleton AT THIS MODE'S position
+                    # (appending regardless of position misplaced the axis
+                    # for every non-trailing int key)
+                    if k >= len(value.shape):
                         value = tn.unsqueeze(value, value.dim())
-                    else:
-                        if sh == 1:
-                            if value.shape[k] == sh:
-                                value = tn.unsqueeze(value, value.dim())
-                            else:
-                                cur = list(value.shape)
-                                new_shape = cur[:k] + [1] + cur[k:]
-                                value = Tensor(
-                                    value.full().reshape(new_shape), batch=self.batch
-                                )
+                    elif sh == 1:
+                        if value.shape[k] == sh:
+                            value = tn.unsqueeze(value, value.dim())
+                        else:
+                            cur = list(value.shape)
+                            new_shape = cur[:k] + [1] + cur[k:]
+                            value = Tensor(
+                                value.full().reshape(new_shape), batch=self.batch
+                            )
                 if self.batch:
                     if self.cores[i].ndim == 4:
                         add_core = jnp.zeros(
@@ -1230,7 +1269,9 @@ class Tensor:
             else:
                 cores.append(self.cores[n])
                 Us.append(self.Us[n])
-        return Tensor(cores, Us, idxs=self.idxs, batch=self.batch)
+        # getattr: __init__'s rank-rounding calls run before self.idxs is
+        # assigned, and round_tt may decompress factors on the way
+        return Tensor(cores, Us, idxs=getattr(self, "idxs", None), batch=self.batch)
 
     def tt(self):
         t = self.decompress_tucker_factors()
@@ -1451,6 +1492,15 @@ class Tensor:
         self.orthogonalize(-1)
         bshape = (self.cores[0].shape[0],) if self.batch else ()
         for mu in range(N - 1, -1, -1):
+            if mu not in dim:
+                # Modes the caller asked to leave alone are only passed
+                # through by the orthogonalization sweep. (The reference
+                # truncates EVERY mode here regardless of `dim`,
+                # tensor.py:1945-2006 — a defect; the jitted fast paths
+                # above honor `dims`, so the eager path must too.)
+                if mu > 0:
+                    self.right_orthogonalize(mu)
+                continue
             dtype = self.cores[mu].dtype
             if self.Us[mu] is None:
                 sp = self.shape[mu + 1] if self.batch else self.shape[mu]
@@ -1532,11 +1582,13 @@ class Tensor:
                     "'svd' or 'eig' for complex tensors"
                 )
             if any(U is not None for U in self.Us):
-                # Non-orthogonal factors change the truncation metric: fold
-                # them into the cores first so the Gram chain is exact
-                t2 = self.decompress_tucker_factors()
-                self.cores = t2.cores
-                self.Us = t2.Us
+                # Non-orthogonal factors change the truncation metric;
+                # orthogonalizing them (pushing R into the cores) makes the
+                # core Gram chain exact WITHOUT destroying the Tucker
+                # structure (decompressing here would silently drop the
+                # factors a ranks_tucker= constructor just installed)
+                for n in range(self.dim()):
+                    self.factor_orthogonalize(n)
             from tntorch_tpu.ops.rounding import resolve_edge_solver, round_tt_gram
             from tntorch_tpu.utils import resolve_precision
 
@@ -1617,9 +1669,14 @@ class Tensor:
         (reference tensor.py:2085-2098)."""
         copy = self.clone()
         self.round_tt(eps, **kwargs)
-        reached = float(tn.relative_error(copy, self))
+        # relative_error is (B,) for batch tensors: budget off the WORST
+        # sample so no sample can exceed eps
+        reached = float(jnp.max(jnp.asarray(tn.relative_error(copy, self))))
         if reached < eps:
-            self.round_tucker((1 + eps) / (1 + reached) - 1, **kwargs)
+            tkwargs = dict(kwargs)
+            if tkwargs.get("algorithm") in ("gram", "randomized"):
+                tkwargs["algorithm"] = "eig"  # TT-stage-only algorithms
+            self.round_tucker((1 + eps) / (1 + reached) - 1, **tkwargs)
 
     # ------------------------------------------------------------------
     # Convenience methods
