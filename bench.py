@@ -404,7 +404,7 @@ def bench_cross_torch_cpu():
     return nsamples / wall
 
 
-def _wait_for_backend(max_tries=4, sleep_s=30):
+def _wait_for_backend(max_tries=10, sleep_s=60):
     """The axon TPU tunnel occasionally refuses connections transiently
     (backend init raises UNAVAILABLE, and jax caches the failure for the
     process lifetime). Probe from SUBPROCESSES until the backend answers so
