@@ -229,3 +229,39 @@ def test_device_lu_pivots_rank_deficient_chunked():
     piv = np.asarray(_device_lu_pivots(jnp.asarray(A)))
     assert (piv < 300000).all()
     assert len(set(piv.tolist())) == 4
+
+
+def test_round_tt_gram_complex():
+    # The Gram kernels are complex-safe (Hermitian Grams, F/F^{-H} pair,
+    # conjugated projections); previously complex was gated out entirely
+    from tntorch_tpu.ops.rounding import round_tt_gram, round_tt_gram_batched, tt_full
+
+    rng = np.random.default_rng(7)
+
+    def randc(shape):
+        return jnp.asarray(rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+
+    base = [randc((1, 8, 2)), randc((2, 8, 2)), randc((2, 8, 1))]
+
+    def pad(c, rl, rr):
+        z = np.zeros((rl, c.shape[1], rr), dtype=np.asarray(c).dtype)
+        z[: c.shape[0], :, : c.shape[2]] = c
+        return jnp.asarray(z)
+
+    padded = [pad(base[0], 1, 4), pad(base[1], 4, 4), pad(base[2], 4, 1)]
+    ref = np.asarray(tt_full(tuple(base)))
+    for solver in ["eigh", "rand"]:
+        out = round_tt_gram(padded, 2, edge_solver=solver)
+        err = np.linalg.norm(np.asarray(tt_full(tuple(out))) - ref) / np.linalg.norm(ref)
+        assert err <= 1e-9, (solver, err)
+
+    # Public API admits complex gram now
+    t = tn.Tensor(list(padded))
+    t.round_tt(rmax=2, algorithm="gram")
+    assert np.linalg.norm(np.array(t.numpy()) - ref) / np.linalg.norm(ref) <= 1e-9
+
+    # Natively-batched body
+    bcores = tuple(jnp.stack([c, 1.5 * c]) for c in padded)
+    outb = round_tt_gram_batched(bcores, 2, "eigh", False)
+    got0 = np.asarray(tt_full(tuple(c[0] for c in outb)))
+    assert np.linalg.norm(got0 - ref) / np.linalg.norm(ref) <= 1e-9

@@ -180,19 +180,18 @@ def test_round_tt_batch_jit():
 
 def test_round_tt_gram_with_tucker_factors():
     """algorithm='gram' on a TT-Tucker tensor: non-orthogonal factors are
-    folded into the cores first, so truncation happens in the right metric
-    (review finding: the branch previously treated factors as orthonormal).
-    Complex cores get a clear error instead of a silently wrong result."""
+    ORTHOGONALIZED first (non-orthogonality pushed into the cores), so
+    truncation happens in the right metric while the Tucker structure
+    survives. Complex cores round through the (Hermitian) Gram kernels."""
     t = tn.rand([10] * 3, ranks_tt=6, ranks_tucker=5, key=jax.random.key(50))
     dense = t.numpy()
     s = t + t
     s.round_tt(rmax=6, algorithm="gram")
     assert np.linalg.norm(s.numpy() - 2 * dense) / np.linalg.norm(dense) <= 1e-9
+    assert any(U is not None for U in s.Us)  # structure preserved
 
     c = tn.rand([6] * 3, ranks_tt=3, key=jax.random.key(51))
     c.cores = [jnp.asarray(x, dtype=jnp.complex128) for x in c.cores]
-    try:
-        c.round_tt(rmax=3, algorithm="gram")
-        assert False, "complex gram should raise"
-    except ValueError:
-        pass
+    ref = np.array(c.numpy())
+    c.round_tt(rmax=3, algorithm="gram")  # exact rank: lossless
+    assert np.linalg.norm(np.array(c.numpy()) - ref) / np.linalg.norm(ref) <= 1e-9

@@ -149,13 +149,17 @@ def _sqrt_factor(G, eps_rel=None):
     from jax.scipy.linalg import solve_triangular
 
     if eps_rel is None:
-        eps_rel = 1e-12 if G.dtype == jnp.float64 else 1e-6
+        # finfo.eps of a complex dtype equals its real component's
+        # (complex64 reports bits=64 but is f32-precision)
+        eps_rel = 1e-12 if jnp.finfo(G.dtype).eps < 1e-10 else 1e-6
     n = G.shape[-1]
-    tr = jnp.einsum("...ii->...", G)[..., None, None]
-    jitter = eps_rel * tr + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
+    # G is Hermitian PSD: the trace is real; trans=2 (conjugate transpose)
+    # gives Finv = F^{-H}, which reduces to F^{-T} for real dtypes
+    tr = jnp.einsum("...ii->...", G).real[..., None, None]
+    jitter = eps_rel * tr + jnp.finfo(tr.dtype).tiny
     F = jnp.linalg.cholesky(G + jitter * jnp.eye(n, dtype=G.dtype))  # lower
     eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), G.shape)
-    Finv = solve_triangular(F, eye, lower=True, trans=1)
+    Finv = solve_triangular(F, eye, lower=True, trans=2)
     return F, Finv
 
 
@@ -198,6 +202,8 @@ def round_tt_gram(cores: Sequence[jax.Array], rmax: int, precision: str = None,
     edge_solver = resolve_edge_solver(edge_solver, precision)
     if not isinstance(rmax, int):
         rmax = tuple(int(r) for r in rmax)  # per-edge ranks; jit-static
+    if precision == "bf16" and jnp.iscomplexobj(cores[0]):
+        precision = "highest"  # complex has no bf16 storage form
     if precision == "bf16":
         return _round_tt_gram_bf16_jit(tuple(cores), rmax, edge_solver)
     # (A B=1 ride of the batched fused-Pallas right chain was measured
@@ -277,10 +283,12 @@ def _cholqr(Y):
     sketches NaN in f32)."""
     from jax.scipy.linalg import solve_triangular
 
-    eps_rel = 1e-12 if Y.dtype == jnp.float64 else 1e-6
-    G = jnp.einsum("...ka,...kb->...ab", Y, Y)
-    tr = jnp.einsum("...ii->...", G)[..., None, None]
-    jit = eps_rel * tr + jnp.asarray(jnp.finfo(Y.dtype).tiny, Y.dtype)
+    eps_rel = 1e-12 if jnp.finfo(Y.dtype).eps < 1e-10 else 1e-6
+    # Hermitian Gram (conj is a no-op for real dtypes); G = R^H R, and
+    # Q = Y R^{-1} needs a PLAIN-transpose solve even for complex Y
+    G = jnp.einsum("...ka,...kb->...ab", jnp.conj(Y), Y)
+    tr = jnp.einsum("...ii->...", G).real[..., None, None]
+    jit = eps_rel * tr + jnp.finfo(tr.dtype).tiny
     R = jnp.linalg.cholesky(G + jit * jnp.eye(G.shape[-1], dtype=Y.dtype), upper=True)
     return jnp.swapaxes(
         solve_triangular(R, jnp.swapaxes(Y, -1, -2), lower=False, trans=1), -1, -2
@@ -312,6 +320,9 @@ def _subspace_topr(A, r, q=2, key=None):
 
 
 def _round_tt_gram_body(cores, rmax, edge_solver="eigh"):
+    """Complex-safe: every Gram is Hermitian (conjugated second operand —
+    a no-op for real dtypes), the Cholesky factor pair is (F, F^{-H}), and
+    the projections use conjugate transposes."""
     cores = list(cores)
     N = len(cores)
     dtype = cores[0].dtype
@@ -322,37 +333,37 @@ def _round_tt_gram_body(cores, rmax, edge_solver="eigh"):
     for k in range(N, 1, -1):
         C = cores[k - 1]  # (Rl, I, Rr)
         T = jnp.einsum("aib,bc->aic", C, G[k])
-        G[k - 1] = jnp.einsum("aic,dic->ad", T, C)
+        G[k - 1] = jnp.einsum("aic,dic->ad", T, jnp.conj(C))
 
-    # Left sweep: truncate each interior edge via small symmetric eigenproblems
+    # Left sweep: truncate each interior edge via small Hermitian eigenproblems
     for k in range(1, N):
         C = cores[k - 1]
         # Left Gram of the prefix ending at edge k. The prefix interface is
         # exactly orthonormal after each edge's projection
-        # (U^T F^-1 Lk F^-T U = I), so no L-weighting is needed: a plain
+        # (U^H F^-1 Lk F^-H U = I), so no L-weighting is needed: a plain
         # Gram of the right unfolding — one contiguous SYRK-shaped GEMM
-        Lk = jnp.einsum("aib,aid->bd", C, C)
+        Lk = jnp.einsum("aib,aid->bd", jnp.conj(C), C)
         # Square-root factor via trace-scaled-jitter Cholesky (the jitter is
         # sized to survive the exactly-singular Grams rank-deficient input
         # produces, in both f32 and f64 — see _sqrt_factor)
         F, Finv = _sqrt_factor(Lk)
-        # Edge Gram in the orthonormalized prefix basis: A = F^T G F;
+        # Edge Gram in the orthonormalized prefix basis: A = F^H G F;
         # its top-r eigenvectors U_r are the left singular vectors of the
-        # middle matrix S = F^T H (A = S S^T) — no SVD needed.
-        A = F.T @ G[k] @ F
+        # middle matrix S = F^H H (A = S S^H) — no SVD needed.
+        A = jnp.conj(F).T @ G[k] @ F
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
         if edge_solver == "rand" and r < A.shape[0]:
             # Any orthonormal basis U of the top-r subspace gives the same
-            # projection (X^T Lk X = U^T U = I below holds for any such U)
+            # projection (X^H Lk X = U^H U = I below holds for any such U)
             U = _subspace_topr(A, r)
         else:
             _, V = jnp.linalg.eigh(A)  # ascending
             U = V[:, ::-1][:, :r]
-        # X = F^{-T} U_r right-multiplies C_k; Y = U_r^T F^T = X^T Lk pushes
+        # X = F^{-H} U_r right-multiplies C_k; Y = U_r^H F^H = X^H Lk pushes
         # the middle factor into C_{k+1}
         X = Finv @ U
-        Y = U.T @ F.T
+        Y = jnp.conj(U).T @ jnp.conj(F).T
         cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
         nxt = cores[k]
         cores[k] = (Y @ nxt.reshape(nxt.shape[0], -1)).reshape(r, nxt.shape[1], nxt.shape[2])
@@ -738,7 +749,7 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
                 G[k - 1] = pallas_gram_edge(C, G[k], precision=precision)
             else:
                 T = jnp.einsum("zaib,zbc->zaic", C, G[k])
-                G[k - 1] = jnp.einsum("zaic,zdic->zad", T, C)
+                G[k - 1] = jnp.einsum("zaic,zdic->zad", T, jnp.conj(C))
 
         for k in range(1, N):
             C = cores[k - 1]
@@ -747,9 +758,9 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
             # L-weighting is the identity — a plain right-unfolding Gram,
             # one contiguous batched SYRK GEMM with no intermediate (the
             # fused left-edge Pallas kernel became unnecessary with this)
-            Lk = jnp.einsum("zaib,zaid->zbd", C, C)
+            Lk = jnp.einsum("zaib,zaid->zbd", jnp.conj(C), C)
             F, Finv = _sqrt_factor(Lk)
-            A = jnp.swapaxes(F, -1, -2) @ G[k] @ F
+            A = jnp.swapaxes(jnp.conj(F), -1, -2) @ G[k] @ F
             rk = rmax if isinstance(rmax, int) else rmax[k - 1]
             r = min(rk, A.shape[-1])
             if edge_solver == "rand" and r < A.shape[-1]:
@@ -758,7 +769,7 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
                 _, V = jnp.linalg.eigh(A)
                 U = V[..., ::-1][..., :r]
             X = Finv @ U
-            Y = jnp.swapaxes(U, -1, -2) @ jnp.swapaxes(F, -1, -2)
+            Y = jnp.swapaxes(jnp.conj(U), -1, -2) @ jnp.swapaxes(jnp.conj(F), -1, -2)
             cores[k - 1] = jnp.einsum("zaib,zbc->zaic", C, X)
             nxt = cores[k]
             cores[k] = jnp.einsum(

@@ -38,16 +38,16 @@ def _gram_round_local(cores, rmax, axis, edge_solver="eigh"):
     for k in range(N, 1, -1):
         C = cores[k - 1]
         T = jnp.einsum("aib,bc->aic", C, G[k])
-        G[k - 1] = jax.lax.psum(jnp.einsum("aic,dic->ad", T, C), axis)
+        G[k - 1] = jax.lax.psum(jnp.einsum("aic,dic->ad", T, jnp.conj(C)), axis)
 
     L = jnp.ones((1, 1), dtype=dtype)
     for k in range(1, N):
         C = cores[k - 1]
-        Lk = jax.lax.psum(jnp.einsum("aib,ac,cid->bd", C, L, C), axis)
+        Lk = jax.lax.psum(jnp.einsum("aib,ac,cid->bd", jnp.conj(C), L, C), axis)
         # Same jittered-Cholesky sqrt as the single-device body
         # (rank-deficiency safe)
         F, Finv = _sqrt_factor(Lk)
-        A = F.T @ G[k] @ F
+        A = jnp.conj(F).T @ G[k] @ F
         rk = rmax if isinstance(rmax, int) else rmax[k - 1]
         r = min(rk, A.shape[0])
         if edge_solver == "rand" and r < A.shape[0]:
@@ -58,7 +58,7 @@ def _gram_round_local(cores, rmax, axis, edge_solver="eigh"):
             _, V = jnp.linalg.eigh(A)
             U = V[:, ::-1][:, :r]
         X = Finv @ U
-        Y = U.T @ F.T
+        Y = jnp.conj(U).T @ jnp.conj(F).T
         cores[k - 1] = jnp.einsum("aib,bc->aic", C, X)
         nxt = cores[k]
         cores[k] = (Y @ nxt.reshape(nxt.shape[0], -1)).reshape(

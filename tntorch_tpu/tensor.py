@@ -1576,11 +1576,6 @@ class Tensor:
             # (the QR-sweep kernels) or f64 when that matters (PERF.md).
             if any(r is None for r in rmax):
                 raise ValueError(f"algorithm='{algorithm}' requires explicit rmax")
-            if jnp.iscomplexobj(self.cores[0]):
-                raise ValueError(
-                    f"algorithm='{algorithm}' supports real cores only; use "
-                    "'svd' or 'eig' for complex tensors"
-                )
             if any(U is not None for U in self.Us):
                 # Non-orthogonal factors change the truncation metric;
                 # orthogonalizing them (pushing R into the cores) makes the
@@ -1601,7 +1596,7 @@ class Tensor:
             )
             self._cp_to_tt()
             rt = tuple(int(r) for r in rmax)
-            if self.cores[0].dtype != jnp.float64:
+            if jnp.finfo(self.cores[0].dtype).eps > 1e-10:  # f32/c64 class
                 if algorithm == "gram" and precision == "highest":
                     # Accuracy-first routing (the 'highest' policy is a
                     # declaration that precision matters): the Gram method
