@@ -1,5 +1,6 @@
 """Array-tool tests (reference tests/test_tools.py + extras for untested tools)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -221,3 +222,44 @@ def test_shift_mode_bad_eps_raises():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "not recognized" in str(e)
+
+
+def test_shift_mode_batch():
+    """Batch tensors take the eager swap path with ellipsis einsums and
+    batched truncated_svd (the 3-D einsum crashed on 4-D batch cores)."""
+    t = tn.randn([3, 4, 5, 6], ranks_tt=3, batch=True, key=jax.random.key(1))
+    full0 = np.asarray(t.full())
+
+    # Tight numeric eps: matches the dense moveaxis oracle
+    s = tn.shift_mode(t.clone(), 0, 2, eps=1e-12)
+    assert s.batch
+    assert np.abs(np.asarray(s.full()) - np.moveaxis(full0, 1, 3)).max() < 1e-5
+
+    # Backward shift
+    s2 = tn.shift_mode(t.clone(), 2, -2, eps=1e-12)
+    assert np.abs(np.asarray(s2.full()) - np.moveaxis(full0, 3, 1)).max() < 1e-5
+
+    # eps='same' (lossy fixed-rank) matches a per-sample non-batch loop
+    sb = tn.shift_mode(t.clone(), 0, 1, eps="same")
+    outs = []
+    for b in range(3):
+        tb = tn.Tensor([np.asarray(c)[b] for c in t.cores])
+        outs.append(np.asarray(tn.shift_mode(tb, 0, 1, eps="same").full()))
+    assert np.abs(np.asarray(sb.full()) - np.stack(outs)).max() < 1e-5
+
+
+def test_truncated_svd_batch_eps():
+    """Batch truncated_svd honors per-sample relative eps budgets (shared
+    rank = max per-sample need); previously batch ignored eps entirely."""
+    rng = np.random.default_rng(0)
+    M = jnp.asarray(
+        np.stack(
+            [
+                rng.standard_normal((12, 2)) @ rng.standard_normal((2, 10))
+                for _ in range(4)
+            ]
+        )
+    )
+    L, R = tn.truncated_svd(M, eps=1e-6, batch=True)
+    assert L.shape[-1] == 2
+    assert np.abs(np.asarray(L @ R) - np.asarray(M)).max() < 1e-4

@@ -56,12 +56,14 @@ def truncated_svd(
     - algorithm 'svd' uses a singular value decomposition; 'eig' forms the
       Gram matrix of the short side and eigen-decomposes it (faster, less
       accurate; negative eigenvalues clamped to 1e-8 as in the reference).
-    - batch keeps a fixed rank = min(rmax, full) — shapes must agree across
-      the batch.
+    - batch picks ONE shared rank: the max over samples of each sample's
+      error-budgeted rank (relative `eps` budgets are per-sample norms), so
+      every sample meets its budget at a common shape.
     """
     if delta is not None and eps is not None:
         raise ValueError("Provide either `delta` or `eps`")
-    if delta is None and eps is not None:
+    eps_rel = eps if (eps is not None and batch) else None
+    if delta is None and eps is not None and not batch:
         delta = eps * float(jnp.linalg.norm(M.reshape(-1)))
     if delta is None:
         delta = 0.0
@@ -111,7 +113,21 @@ def truncated_svd(
             )
 
     if batch:
-        rank = max(1, min(rmax, S_host.shape[-1]))
+        S2b = S_host.astype(np.float64) ** 2  # (B, K)
+        if eps_rel is not None or delta > 0:
+            # Per-sample largest discardable tail (sum of smallest sigma^2
+            # within budget); the shared rank is the max a sample needs.
+            # Frobenius^2 == sum of ALL sigma^2 (full_matrices=False keeps
+            # every singular value), so relative budgets need no extra sync.
+            tails = np.cumsum(S2b[:, ::-1], axis=1)
+            if eps_rel is not None:
+                budget2 = (eps_rel**2) * S2b.sum(axis=1, keepdims=True)
+            else:
+                budget2 = np.full((S2b.shape[0], 1), float(delta) ** 2)
+            discardable = (tails <= budget2).sum(axis=1)
+            rank = max(1, min(rmax, int((S2b.shape[1] - discardable).max())))
+        else:
+            rank = max(1, min(rmax, S_host.shape[-1]))
     else:
         # Largest discardable tail: sum of smallest sigma^2 <= delta^2
         S2 = S_host.astype(np.float64) ** 2

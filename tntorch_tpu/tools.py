@@ -566,10 +566,14 @@ def shift_mode(t, n, shift, eps=1e-3):
     pure_tt = not t.batch and all(c.ndim == 3 for c in t.cores)
     if pure_tt and (eps == "same" or (not isinstance(eps, str) and eps >= 0)):
         same_mode = eps == "same"
-        padded, effs = _shift_mode_kernel(
-            tuple(t.cores), int(n), int(shift),
-            0.0 if same_mode else float(eps), same_mode,
-        )
+        # Pin the policy's matmul precision: the context keys the jit trace,
+        # so on TPU the swap einsums don't run at the ambient single-pass
+        # bf16 default (~1e-2 error) under the 'highest' policy.
+        with jax.default_matmul_precision(matmul_precision()):
+            padded, effs = _shift_mode_kernel(
+                tuple(t.cores), int(n), int(shift),
+                0.0 if same_mode else float(eps), same_mode,
+            )
         cores = list(padded)
         if not same_mode and len(effs):
             effs_host = [int(e) for e in np.asarray(effs)]  # the one sync
@@ -584,25 +588,40 @@ def shift_mode(t, n, shift, eps=1e-3):
 
     cores = t.cores
     sign = int(np.sign(shift))
+    batch = t.batch
+    with jax.default_matmul_precision(matmul_precision()):
+        return _shift_mode_eager(t, cores, n, shift, sign, batch, eps)
+
+
+def _shift_mode_eager(t, cores, n, shift, sign, batch, eps):
+    """Eager per-swap loop (batch / Tucker-decompressed layouts). Pinned to
+    the policy's matmul precision: on TPU the ambient f32 default is
+    single-pass bf16, which costs ~1e-2 on the swap einsum chains."""
     for i in range(n, n + shift, sign):
         if sign == 1:
             c1, c2, left_ortho = i, i + 1, True
         else:
             c1, c2, left_ortho = i - 1, i, False
-        R1 = cores[c1].shape[0]
-        R2 = cores[c1].shape[2]
-        R3 = cores[c2].shape[2]
-        I1 = cores[c1].shape[1]
-        I2 = cores[c2].shape[1]
-        sc = jnp.einsum("iaj,jbk->ibak", cores[c1], cores[c2])
-        sc = sc.reshape(sc.shape[0] * sc.shape[1], sc.shape[2] * sc.shape[3])
+        R1 = cores[c1].shape[-3]
+        R2 = cores[c1].shape[-1]
+        R3 = cores[c2].shape[-1]
+        I1 = cores[c1].shape[-2]
+        I2 = cores[c2].shape[-2]
+        lead = cores[c1].shape[:-3]  # (B,) for batch tensors, () otherwise
+        sc = jnp.einsum("...iaj,...jbk->...ibak", cores[c1], cores[c2])
+        sc = sc.reshape(lead + (R1 * I2, I1 * R3))
         if eps == "same":
-            left, right = tn.truncated_svd(sc, eps=0, rmax=R2, left_ortho=left_ortho)
+            left, right = tn.truncated_svd(
+                sc, eps=0, rmax=R2, left_ortho=left_ortho, batch=batch
+            )
         elif eps >= 0:
-            left, right = tn.truncated_svd(sc, eps=eps / np.sqrt(np.abs(shift)), left_ortho=left_ortho)
+            left, right = tn.truncated_svd(
+                sc, eps=eps / np.sqrt(np.abs(shift)), left_ortho=left_ortho,
+                batch=batch,
+            )
         else:
             raise ValueError("Relative error '{}' not recognized".format(eps))
-        newR2 = left.shape[1]
-        cores[c1] = left.reshape(R1, I2, newR2)
-        cores[c2] = right.reshape(newR2, I1, R3)
+        newR2 = left.shape[-1]
+        cores[c1] = left.reshape(lead + (R1, I2, newR2))
+        cores[c2] = right.reshape(lead + (newR2, I1, R3))
     return t
