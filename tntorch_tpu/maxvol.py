@@ -204,10 +204,17 @@ def _maxvol_device_body(A, tol, max_iters):
         C, idx, it = state
         flat = jnp.argmax(jnp.abs(C))
         i, j = flat // r, flat % r
+        # Guard the swap on the per-instance tolerance so the body is a
+        # no-op once converged: under vmap, lax.while_loop runs the body on
+        # EVERY lane while ANY lane's cond holds, so an unguarded swap would
+        # corrupt already-converged instances (needed by the one-stream
+        # batched minimize, which vmaps the fused sweep over samples).
+        # Unbatched this is identical: cond holding implies ok.
+        ok = jnp.abs(C[i, j]) > tol
         col = C[:, j]
         row = C[i].at[j].add(-1.0)
-        C = C - jnp.outer(col / C[i, j], row)
-        idx = idx.at[j].set(i.astype(idx.dtype))
+        C = jnp.where(ok, C - jnp.outer(col / C[i, j], row), C)
+        idx = jnp.where(ok, idx.at[j].set(i.astype(idx.dtype)), idx)
         return C, idx, it + 1
 
     C, idx, _ = jax.lax.while_loop(cond, body, (C, idx0, 0))
