@@ -90,13 +90,222 @@ def _negated(function):
     return w
 
 
+# Telemetry for the one-stream batched minimize (white-box testability:
+# asserts the ensemble min ran as ONE vmapped dispatch stream, not B loops)
+_BATCHED_MIN_STATS = {"onestream": False, "chunks": 0}
+
+
+def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
+    """One-stream batched ensemble minimize (VERDICT r3 next-round #3): vmap
+    the fused LTR+RTL chunk program over the batch dim, so tn.minimum of a
+    B-member ensemble issues ONE dispatch stream instead of B sequential
+    crosses. Pivots differ per sample but shapes don't (fixed rmax schedule),
+    so the whole sweep vmaps; the device maxvol while_loop body is
+    convergence-guarded to be vmap-safe.
+
+    Returns (min (B,) jnp, argmin (B, N) np) or None when the inputs don't
+    admit the vmapped path (non-traceable f, unknown kwargs, fuse=False, CPU
+    under fuse='auto') — caller falls back to the per-sample loop.
+    """
+    import functools
+
+    supported = {"seed", "eps", "val_size", "kickrank", "function_arg",
+                 "fuse", "detach_evaluations", "suppress_warnings",
+                 "ranks_tt", "device"}
+    if not set(kwargs) <= supported:
+        return None
+    fuse = kwargs.get("fuse", "auto")
+    if fuse is False:
+        return None
+    if fuse in (None, "auto") and jax.default_backend() == "cpu":
+        return None
+    function_arg = kwargs.get("function_arg", "vectors")
+    if function_arg == "matrix":
+        def f(*args):
+            return function(jnp.concatenate([a[:, None] for a in args], axis=1))
+    else:
+        f = function
+    if kwargs.get("detach_evaluations"):
+        _g = f
+
+        def f(*args):
+            return jax.lax.stop_gradient(_g(*args))
+
+    ts = list(tensors) if isinstance(tensors, (list, tuple)) else [tensors]
+    ts = [t.decompress_tucker_factors(_clone=False) for t in ts]
+    K = len(ts)
+    dtype = ts[0].cores[0].dtype
+    if not _f_is_traceable(f, K, dtype):
+        return None
+
+    B = int(ts[0].cores[0].shape[0])
+    Is = list(ts[0].shape)[1:]  # batch .shape leads with B
+    N = len(Is)
+    if N <= 1:
+        return None
+    eps = kwargs.get("eps", 1e-6)
+    val_size = int(kwargs.get("val_size", 1000))
+    kickrank = kwargs.get("kickrank", 3)
+    ranks_tt = kwargs.get("ranks_tt")
+    if ranks_tt is None:
+        ranks_tt = 1
+    else:
+        kickrank = None
+    if not hasattr(ranks_tt, "__len__"):
+        ranks_tt = [ranks_tt] * (N - 1)
+    Rs = np.array([1] + list(ranks_tt) + [1])
+    for n in list(range(1, N)) + list(range(N - 1, -1, -1)):
+        Rs[n] = min(Rs[n - 1] * Is[n - 1], Rs[n], Is[n] * Rs[n + 1])
+
+    rng = np.random.default_rng(kwargs.get("seed"))
+    randint = np.hstack(
+        [rng.integers(0, Is[n + 1], [max(Rs), 1]) for n in range(N - 1)]
+        + [np.zeros([max(Rs), 1], dtype=int)]
+    )
+    # Shared initial random right index sets: each sample treats them as its
+    # random kicks (shapes must be uniform for the vmap)
+    rsets_b = [
+        np.broadcast_to(randint[: Rs[n + 1], n:], (B,) + randint[: Rs[n + 1], n:].shape)
+        for n in range(N - 1)
+    ]
+    Xs_val = jnp.asarray(
+        np.stack([rng.choice(I, val_size) for I in Is], axis=1)
+    )
+
+    tcores = tuple(tuple(t.cores) for t in ts)  # each (B, ...) leading
+
+    def _grow(curRs):
+        newRs = curRs.copy()
+        newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
+        for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
+            newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
+        return newRs
+
+    # vmapped fused chunk: cores/mz/rcols/ys carry the leading B; schedule,
+    # kick rows and validation coordinates are shared. Cached per function.
+    key = (id(function), function_arg, bool(kwargs.get("detach_evaluations")),
+           "batched_minimize")
+    ent = _fused_iter_cache.get(key)
+    if ent is None:
+        base = functools.partial(_fused_chunk, f, None)
+        vchunk = jax.jit(jax.vmap(
+            base, in_axes=(0, 0, None, None, None, 0, 0)
+        ))
+        vchunk_first = jax.jit(jax.vmap(
+            base, in_axes=(0, 0, None, None, None, 0, None)
+        ))
+        _fused_iter_cache[key] = ((vchunk_first, vchunk), f)
+        if len(_fused_iter_cache) > 128:
+            _fused_iter_cache.clear()
+            _fused_seen_sigs.clear()
+            _fused_iter_cache[key] = ((vchunk_first, vchunk), f)
+    else:
+        vchunk_first, vchunk = ent[0]
+
+    mz = (
+        jnp.zeros((B,), dtype=dtype),
+        jnp.zeros((B,), dtype=bool),
+        jnp.zeros((B, N), dtype=jnp.int32),
+    )
+    ys_dev = None
+    converged = False
+    i = 0
+    _BATCHED_MIN_STATS["onestream"] = True
+    _BATCHED_MIN_STATS["chunks"] = 0
+    best = None
+    argbest = None
+    while i < max_iter and not converged:
+        S = min(4 if i == 0 else 2, max_iter - i)
+        schedule = [Rs]
+        extras_chunk = []
+        if kickrank is not None:
+            cur = Rs
+            for _ in range(S - 1):
+                newRs = _grow(cur)
+                extra = np.hstack(
+                    [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
+                    + [np.zeros([max(newRs), 1], dtype=int)]
+                )
+                extras_chunk.append(tuple(
+                    jnp.asarray(extra[: newRs[n + 1] - cur[n + 1], n:], dtype=jnp.int32)
+                    for n in range(N - 1)
+                ))
+                schedule.append(newRs)
+                cur = newRs
+        else:
+            empty = tuple(
+                jnp.zeros((0, N - n), dtype=jnp.int32) for n in range(N - 1)
+            )
+            extras_chunk = [empty] * (S - 1)
+            schedule = [Rs] * S
+        rcols_b = tuple(
+            jnp.asarray(rsets_b[n][:, :, : N - 1 - n], dtype=jnp.int32)
+            for n in range(N - 1)
+        )
+        fn = vchunk_first if ys_dev is None else vchunk
+        (outs, stats_dev, packed_rsets, _rints, mz_stack, ys_dev) = fn(
+            tcores, rcols_b, None, tuple(extras_chunk), Xs_val, mz, ys_dev
+        )
+        _BATCHED_MIN_STATS["chunks"] += 1
+        stats = np.asarray(stats_dev)  # (B, 2S): one sync per chunk
+        epss, finites = stats[:, :S], stats[:, S:] > 0.5
+        if not finites.all():
+            raise ValueError(
+                "Invalid return value (NaN/Inf) from function {} during "
+                "batched cross-minimize".format(function)
+            )
+        # First in-chunk iteration where EVERY sample's val eps clears the
+        # target; the minimize state is cumulative so later is never worse
+        sel = S - 1
+        for s in range(S):
+            if (epss[:, s] < eps).all():
+                sel = s
+                converged = True
+                break
+        if verbose:
+            bvals = np.asarray(mz_stack[0][:, sel])
+            print("batched minimize: iters {}..{} | best per sample: {}".format(
+                i, i + sel, np.array2string(bvals, precision=6)))
+        mz = (mz_stack[0][:, sel], mz_stack[1][:, sel], mz_stack[2][:, sel])
+        best, has, argbest = mz
+        i += sel + 1
+        if converged or i >= max_iter:
+            break
+        packed = np.asarray(packed_rsets)  # (B, rows, N)
+        rsets_b, off = [], 0
+        for n in range(N - 1):
+            R = int(schedule[-1][n + 1])
+            rsets_b.append(packed[:, off:off + R, : N - n].astype(np.int64))
+            off += R
+        Rs = schedule[-1]
+        if kickrank is not None:
+            newRs = _grow(Rs)
+            extra = np.hstack(
+                [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
+                + [np.zeros([max(newRs), 1], dtype=int)]
+            )
+            for n in range(N - 1):
+                if newRs[n + 1] > Rs[n + 1]:
+                    ext = np.broadcast_to(
+                        extra[: newRs[n + 1] - Rs[n + 1], n:],
+                        (B, newRs[n + 1] - Rs[n + 1], N - n),
+                    )
+                    rsets_b[n] = np.concatenate([rsets_b[n], ext], axis=1)
+            Rs = newRs
+    return jnp.asarray(best), np.asarray(argbest)
+
+
 def minimum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=False, **kwargs):
     """Estimate the minimum of a tensor / function of tensors.
 
     Reference cross.py:12-37. Batch tensors return a (B,) array of
-    per-sample minima (beyond-parity; the reference rejects batch)."""
+    per-sample minima (beyond-parity; the reference rejects batch) — as ONE
+    vmapped dispatch stream when the fused path admits it, else a loop."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
+        res = _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs)
+        if res is not None:
+            return res[0]
         return jnp.stack([
             jnp.asarray(minimum(s, function=function, rmax=rmax,
                                 max_iter=max_iter, verbose=verbose, **kwargs))
@@ -113,9 +322,12 @@ def argmin(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
     """Coordinates of the minimum.
 
     Reference cross.py:480-492. Batch tensors return a list of per-sample
-    coordinate tuples."""
+    coordinate tuples (one vmapped stream when the fused path admits it)."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
+        res = _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs)
+        if res is not None:
+            return [tuple(int(x) for x in row) for row in res[1]]
         return [
             argmin(s, function=function, rmax=rmax, max_iter=max_iter,
                    verbose=verbose, **kwargs)
@@ -132,9 +344,14 @@ def maximum(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fa
     """Maximum element, via minimize of -t.
 
     Reference cross.py:495-507. Batch tensors return a (B,) array of
-    per-sample maxima."""
+    per-sample maxima (one vmapped stream when the fused path admits it)."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
+        res = _try_batched_minimize(
+            tensors, _negated(function), rmax, max_iter, verbose, kwargs
+        )
+        if res is not None:
+            return -res[0]
         return jnp.stack([
             jnp.asarray(maximum(s, function=function, rmax=rmax,
                                 max_iter=max_iter, verbose=verbose, **kwargs))
@@ -151,9 +368,14 @@ def argmax(tensors=None, function=lambda x: x, rmax=10, max_iter=10, verbose=Fal
     """Coordinates of the maximum.
 
     Reference cross.py:510-522. Batch tensors return a list of per-sample
-    coordinate tuples."""
+    coordinate tuples (one vmapped stream when the fused path admits it)."""
     samples = _split_batch_samples(tensors)
     if samples is not None:
+        res = _try_batched_minimize(
+            tensors, _negated(function), rmax, max_iter, verbose, kwargs
+        )
+        if res is not None:
+            return [tuple(int(x) for x in row) for row in res[1]]
         return [
             argmax(s, function=function, rmax=rmax, max_iter=max_iter,
                    verbose=verbose, **kwargs)
@@ -641,6 +863,31 @@ def _f_is_traceable(f, K, dtype):
         return False
 
 
+_callback_support: dict = {}  # backend platform name -> bool (probed once)
+
+
+def _backend_supports_callbacks():
+    """Whether the default backend can run jax.pure_callback inside jit.
+
+    Probed at runtime because it is a PJRT-plugin property, not a platform
+    property: CPU/GPU/real-TPU runtimes support host send/recv callbacks, but
+    tunneled/proxy plugins (e.g. axon_pjrt) raise UNIMPLEMENTED. The probe is
+    one tiny jitted program, cached per backend for the process lifetime."""
+    backend = jax.default_backend()
+    sup = _callback_support.get(backend)
+    if sup is None:
+        try:
+            out = jax.jit(lambda x: jax.pure_callback(
+                lambda a: np.asarray(a) + np.float32(1.0),
+                jax.ShapeDtypeStruct((), jnp.float32), x,
+            ))(jnp.zeros((), jnp.float32))
+            sup = bool(np.asarray(out) == 1.0)
+        except Exception:
+            sup = False
+        _callback_support[backend] = sup
+    return sup
+
+
 def _make_callback_f(f, tensors, dtype):
     """Wrap a non-traceable (host NumPy) function in ``jax.pure_callback`` so
     it can be embedded in the fused chunk program: everything around the host
@@ -654,6 +901,8 @@ def _make_callback_f(f, tensors, dtype):
     tensors) to verify host-call semantics and the output shape; returns
     None when the probe fails, and the caller falls back to the eager path
     (which calls f on concrete arrays and so supports any semantics)."""
+    if not _backend_supports_callbacks():
+        return None
     N = len(tensors[0].shape)
     np_dtype = np.dtype(dtype)
     try:
