@@ -18,7 +18,13 @@ test-serial:
 bench:
 	python bench.py
 
+test-tpu:
+	TNT_TPU_TESTS=1 python -m pytest tests/test_tpu_live.py -q
+
+test-examples:
+	python -m pytest tests/test_examples.py -q -n 4
+
 clean:
 	rm -f $(NATIVE)
 
-.PHONY: all test bench clean
+.PHONY: all test bench test-tpu test-examples clean

@@ -94,6 +94,15 @@ def _negated(function):
 # asserts the ensemble min ran as ONE vmapped dispatch stream, not B loops)
 _BATCHED_MIN_STATS = {"onestream": False, "chunks": 0}
 
+# Speculative chunk depths for the fused sweep: the convergence check (one
+# tunnel round trip) happens once per chunk, so depth trades wasted
+# speculative iterations against host syncs. eps runs typically need >=4
+# sweeps, so a deep first chunk wastes nothing; later chunks stay shallower
+# because convergence can land anywhere inside them. Tuned on the 5-D
+# Hilbert TPU run (see PERF.md).
+_CHUNK_DEPTH_FIRST = 4
+_CHUNK_DEPTH_NEXT = 2
+
 
 def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
     """One-stream batched ensemble minimize (VERDICT r3 next-round #3): vmap
@@ -215,7 +224,7 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
     best = None
     argbest = None
     while i < max_iter and not converged:
-        S = min(4 if i == 0 else 2, max_iter - i)
+        S = min(_CHUNK_DEPTH_FIRST if i == 0 else _CHUNK_DEPTH_NEXT, max_iter - i)
         schedule = [Rs]
         extras_chunk = []
         if kickrank is not None:
@@ -1293,7 +1302,7 @@ def cross(
             # once — the tunnel round trip is paid per CHUNK, not per
             # iteration. First chunk is 4 deep (eps runs typically take >=4
             # sweeps, so nothing is wasted), later chunks 2.
-            S = min(4 if i == 0 else 2, max_iter - i)
+            S = min(_CHUNK_DEPTH_FIRST if i == 0 else _CHUNK_DEPTH_NEXT, max_iter - i)
             schedule = [Rs]
             extras_chunk = []
             if kickrank is not None:

@@ -39,7 +39,11 @@ def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1):
         rows (reference maxvol.py:114,127-130); -1 means all rows.
 
     Dispatches to the native C++ kernel (csrc/maxvol.cpp) when available for
-    real input; falls back to this NumPy implementation otherwise.
+    real input; falls back to this NumPy implementation otherwise. Complex
+    input always takes the NumPy path here (the C++ kernel is real-only);
+    this only affects the host API — the device pipeline in cross.py routes
+    through `_maxvol_device_impl`, which is dtype-generic, so complex cross
+    runs stay fused on device.
     """
     A = np.asarray(A)
     tol = max(tol, 1.0)
