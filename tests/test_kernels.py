@@ -125,6 +125,62 @@ def test_pallas_gram_edges_interpret():
     # L-weighting removed it is a single contiguous SYRK GEMM)
 
 
+def test_pallas_wgram_proj2_interpret():
+    """The weighted left-Gram and double-sided projection kernels of the
+    no-push batched sweep (interpret mode) match their einsum oracles."""
+    from tntorch_tpu.ops.pallas_gram import (
+        HAVE_PALLAS, pallas_proj2, pallas_wgram, proj2_supported, wgram_supported,
+    )
+
+    if not HAVE_PALLAS:
+        return
+    rng = np.random.default_rng(23)
+    B, Rl, I, Rr = 2, 16, 32, 128
+    C = jnp.asarray(rng.standard_normal((B, Rl, I, Rr)), dtype=jnp.float32)
+    W = jnp.asarray(rng.standard_normal((B, Rl, Rl)), dtype=jnp.float32)
+    W = W @ jnp.swapaxes(W, -1, -2)
+    assert wgram_supported(C)
+    got = pallas_wgram(C, W, interpret=True)
+    want = jnp.einsum("zaib,zad,zdic->zbc", C, W, C)
+    assert float(jnp.abs(got - want).max()) <= 1e-4 * float(jnp.abs(want).max())
+
+    Y = jnp.asarray(rng.standard_normal((B, 8, Rl)), dtype=jnp.float32)
+    # r2=24 exercises the 128-lane zero-pad + slice-back path
+    X = jnp.asarray(rng.standard_normal((B, Rr, 24)), dtype=jnp.float32)
+    assert proj2_supported(Y, C, X)
+    got2 = pallas_proj2(Y, C, X, interpret=True)
+    want2 = jnp.einsum("zra,zaib,zbc->zric", Y, C, X)
+    assert float(jnp.abs(got2 - want2).max()) <= 1e-4 * float(jnp.abs(want2).max())
+
+
+def test_round_tt_gram_batched_nopush_matches_push():
+    """The no-push sweep (deferred interface transforms + fused wgram/proj2
+    kernels, interpret mode) reproduces the eager-push sweep on shapes that
+    qualify (every middle edge 128-lane aligned), for both edge solvers."""
+    from tntorch_tpu.ops.rounding import round_tt_gram_batched, tt_full
+
+    B, N, I, R, rmax = 2, 4, 16, 128, 64
+    rng = np.random.default_rng(24)
+    ranks = [1] + [R] * (N - 1) + [1]
+    bcores = tuple(
+        jnp.asarray(
+            rng.standard_normal((B, ranks[n], I, ranks[n + 1])) / 12.0,
+            dtype=jnp.float32,
+        )
+        for n in range(N)
+    )
+    fullb = jax.vmap(tt_full)
+    for solver in ("eigh", "rand"):
+        push = round_tt_gram_batched(bcores, rmax, solver, False, "highest")
+        nopush = round_tt_gram_batched(bcores, rmax, solver, True, "highest", True)
+        assert [c.shape for c in push] == [c.shape for c in nopush]
+        d_push, d_nopush = fullb(push), fullb(nopush)
+        rel = float(
+            jnp.linalg.norm(d_nopush - d_push) / jnp.linalg.norm(d_push)
+        )
+        assert rel < 1e-4, (solver, rel)
+
+
 def test_round_tt_gram_batched_matches_vmap():
     """The natively-batched rounding body (einsum path) is bit-identical to
     vmapping the per-sample body, for both edge solvers."""

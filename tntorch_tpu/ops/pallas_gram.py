@@ -136,6 +136,161 @@ def pallas_gram_edge(C, G, interpret: bool = False, precision: str = "highest"):
     )(C, G)
 
 
+def _wgram_kernel(c_ref, w_ref, out_ref, *, mm_precision):
+    """One (batch, i-tile) step of the LEFT (prefix-weighted) Gram:
+    out[b, d] += sum_{a, a', i} C[a, i, b] W[a, a'] C[a', i, d]."""
+    i_step = pl.program_id(1)
+
+    C = c_ref[0]  # (Rl, TILE_I, Rr)
+    W = w_ref[0]  # (Rl, Rl)
+    Rl, TI, Rr = C.shape
+    # T[a, i*Rr] = sum_{a'} W[a, a'] C[a', i*Rr]: i rides the flattened minor
+    T = jnp.dot(
+        W, C.reshape(Rl, TI * Rr),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    )
+    # out[b, d] += sum_{(a,i)} C[(a,i), b] T[(a,i), d]
+    acc = jax.lax.dot_general(
+        C.reshape(Rl * TI, Rr), T.reshape(Rl * TI, Rr),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    )
+
+    @pl.when(i_step == 0)
+    def _init():
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    @pl.when(i_step > 0)
+    def _acc():
+        out_ref[0] += acc.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision"))
+def pallas_wgram(C, W, interpret: bool = False, precision: str = "highest"):
+    """Batched prefix-weighted left Gram: (B, Rl, I, Rr), (B, Rl, Rl) ->
+    (B, Rr, Rr), equal to ``einsum('zaib,zad,zdic->zbc', C, W, C)`` with f32
+    accumulation and one HBM read of C (the W-multiplied tile never exists
+    in HBM).
+
+    This is the Gram of the *pushed* core Y @ C with W = Y^T Y — the
+    no-push batched rounding sweep (ops/rounding.py) uses it so the pushed
+    core is never materialized. With W the identity it is the plain
+    left-unfolding Gram (first edge).
+    """
+    if not HAVE_PALLAS:
+        raise RuntimeError("Pallas unavailable in this jaxlib build")
+    B, Rl, I, Rr = C.shape
+    tile = _pick_tile(Rl, I, Rr)
+    assert tile, "unsupported shape (check wgram_supported first)"
+    grid = (B, I // tile)
+    return pl.pallas_call(
+        partial(_wgram_kernel, mm_precision=_PRECISIONS[precision]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Rl, tile, Rr), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rl, Rl), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Rr, Rr), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Rr, Rr), C.dtype),
+        interpret=interpret,
+    )(C, W)
+
+
+def wgram_supported(C) -> bool:
+    """Shape/dtype gate for the fused weighted left Gram: same layout rules
+    as the right-Gram edge (the kernel reshapes (Rl, TI*Rr) <-> (Rl*TI, Rr)
+    in VMEM, so the lane dim Rr must be 128-aligned), plus Rl lane-aligned
+    for the W GEMM."""
+    if not HAVE_PALLAS or C.dtype != jnp.float32 or C.ndim != 4:
+        return False
+    B, Rl, I, Rr = C.shape
+    return Rl % 8 == 0 and Rr % 128 == 0 and _pick_tile(Rl, I, Rr) > 0
+
+
+def _proj2_kernel(y_ref, c_ref, x_ref, out_ref, *, mm_precision):
+    """One (batch, i-tile) step of the double-sided projection:
+    out[r, i, c] = sum_{a, b} Y[r, a] C[a, i, b] X[b, c]."""
+    Y = y_ref[0]  # (r1, Rl)
+    C = c_ref[0]  # (Rl, TILE_I, Rr)
+    X = x_ref[0]  # (Rr, r2p)
+    Rl, TI, Rr = C.shape
+    r1 = Y.shape[0]
+    T = jnp.dot(
+        Y, C.reshape(Rl, TI * Rr),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    )  # (r1, TI*Rr)
+    out = jnp.dot(
+        T.reshape(r1 * TI, Rr), X,
+        preferred_element_type=jnp.float32,
+        precision=mm_precision,
+    )  # (r1*TI, r2p)
+    out_ref[0] = out.reshape(r1, TI, X.shape[1]).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "precision"))
+def pallas_proj2(Y, C, X, interpret: bool = False, precision: str = "highest"):
+    """Batched double-sided projection: (B, r1, Rl), (B, Rl, I, Rr),
+    (B, Rr, r2) -> (B, r1, I, r2), equal to
+    ``einsum('zra,zaib,zbc->zric', Y, C, X)`` reading C from HBM exactly
+    once and never materializing the (B, r1, I, Rr) half-projected
+    intermediate (the push-based sweep writes it out in full).
+
+    r2 is zero-padded to a 128 lane multiple for the in-VMEM reshape and
+    sliced back after — the padded write is still ~2x cheaper than the
+    push + project pair it replaces.
+    """
+    if not HAVE_PALLAS:
+        raise RuntimeError("Pallas unavailable in this jaxlib build")
+    B, Rl, I, Rr = C.shape
+    r1 = Y.shape[1]
+    r2 = X.shape[2]
+    r2p = -(-r2 // 128) * 128
+    if r2p != r2:
+        X = jnp.concatenate(
+            [X, jnp.zeros((B, Rr, r2p - r2), dtype=X.dtype)], axis=-1
+        )
+    tile = _pick_tile(max(Rl, r1), I, max(Rr, r2p))
+    assert tile, "unsupported shape (check proj2_supported first)"
+    grid = (B, I // tile)
+    out = pl.pallas_call(
+        partial(_proj2_kernel, mm_precision=_PRECISIONS[precision]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r1, Rl), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rl, tile, Rr), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rr, r2p), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r1, tile, r2p), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, r1, I, r2p), C.dtype),
+        interpret=interpret,
+    )(Y, C, X)
+    return out[..., :r2] if r2p != r2 else out
+
+
+def proj2_supported(Y, C, X) -> bool:
+    """Gate for the fused double-sided projection: f32, the kernel's two
+    VMEM reshapes need Rr 128-aligned and r1/Rl sublane-aligned."""
+    if not HAVE_PALLAS or C.dtype != jnp.float32 or C.ndim != 4:
+        return False
+    B, Rl, I, Rr = C.shape
+    r1 = Y.shape[1]
+    return (
+        Y.dtype == jnp.float32 and X.dtype == jnp.float32
+        and r1 % 8 == 0 and Rl % 8 == 0 and Rr % 128 == 0
+        and _pick_tile(max(Rl, r1), I, max(Rr, -(-X.shape[2] // 128) * 128)) > 0
+    )
+
+
 def gram_edge_supported(C) -> bool:
     """Shape/dtype gate for the fused kernel: f32, lane-aligned ranks, and
     a C tile + T tile that fit the VMEM budget.

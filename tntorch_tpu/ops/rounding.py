@@ -742,9 +742,10 @@ def round_tt_flops(shapes, rmax: int) -> float:
 # The per-sample helpers above are written batched (ellipsis einsums), so
 # the batched body reuses them directly — one jitter/numerics policy.
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
-                          use_pallas: bool = False, precision: str = "highest"):
+                          use_pallas: bool = False, precision: str = "highest",
+                          interpret: bool = False):
     """Fixed-rank Gram rounding of a BATCH of TTs, written natively batched
     (cores (B, Rl, I, Rr)): small factorizations ride jnp's batched linalg,
     and with ``use_pallas`` the two Gram-chain contractions per edge run as
@@ -752,10 +753,29 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
     VMEM — the chain is ~70% of the sweep's time and memory-bound, so
     fusing it is worth ~1.5-2x end to end on TPU (see PERF.md).
 
+    When every middle edge's shapes qualify, the Pallas path additionally
+    runs a NO-PUSH left sweep (VERDICT r3 task 7): the interface transforms
+    Y are *deferred* instead of eagerly pushed into the next core — the Lk
+    Gram of the pushed core Y@C is computed from the ORIGINAL core as the
+    weighted Gram sum_i C_i^T (Y^T Y) C_i (`pallas_wgram`, one HBM read of
+    C), and each output core is the fused double-sided projection
+    Y_prev @ C @ X (`pallas_proj2`, one read + one write). The (B, r, I,
+    Rr) pushed core never exists in HBM; measured 22.3 -> ~17 ms on the
+    B=32 N=4 I=256 R=128->64 rand sweep (see PERF.md).
+
     Matches jax.vmap(_round_tt_gram_body) numerically (same math; the
-    Pallas edges reorder the i-accumulation, so agreement is to roundoff).
+    Pallas edges and the deferred-push algebra reorder accumulations, so
+    agreement is to roundoff). ``interpret`` runs the Pallas kernels in
+    interpreter mode (CPU tests of the no-push sweep).
     """
-    from tntorch_tpu.ops.pallas_gram import gram_edge_supported, pallas_gram_edge
+    from tntorch_tpu.ops.pallas_gram import (
+        gram_edge_supported,
+        pallas_gram_edge,
+        pallas_proj2,
+        pallas_wgram,
+        proj2_supported,
+        wgram_supported,
+    )
 
     with jax.default_matmul_precision(precision):
         cores = list(cores)
@@ -768,23 +788,37 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
         for k in range(N, 1, -1):
             C = cores[k - 1]
             if use_pallas and gram_edge_supported(C):
-                G[k - 1] = pallas_gram_edge(C, G[k], precision=precision)
+                G[k - 1] = pallas_gram_edge(C, G[k], precision=precision,
+                                            interpret=interpret)
             else:
                 T = jnp.einsum("zaib,zbc->zaic", C, G[k])
                 G[k - 1] = jnp.einsum("zaic,zdic->zad", T, jnp.conj(C))
 
-        for k in range(1, N):
-            C = cores[k - 1]
-            # Left-prefix Gram: the prefix interface is exactly orthonormal
-            # after each edge's projection (U^T F^-1 Lk F^-T U = I), so the
-            # L-weighting is the identity — a plain right-unfolding Gram,
-            # one contiguous batched SYRK GEMM with no intermediate (the
-            # fused left-edge Pallas kernel became unnecessary with this)
-            Lk = jnp.einsum("zaib,zaid->zbd", jnp.conj(C), C)
-            F, Finv = _sqrt_factor(Lk)
-            A = jnp.swapaxes(jnp.conj(F), -1, -2) @ G[k] @ F
+        def _edge_rank(k):
             rk = rmax if isinstance(rmax, int) else rmax[k - 1]
-            r = min(rk, A.shape[-1])
+            return min(rk, cores[k - 1].shape[-1])
+
+        # The no-push sweep applies when every middle edge supports both
+        # fused kernels (shapes are static under jit, so this is traced
+        # away); otherwise the eager-push loop below runs unchanged.
+        def _nopush_ok():
+            if not use_pallas or N < 3:
+                return False
+            for k in range(2, N):
+                C = cores[k - 1]
+                r_prev = _edge_rank(k - 1)
+                r = _edge_rank(k)
+                Y_s = jax.ShapeDtypeStruct((B, r_prev, C.shape[1]), C.dtype)
+                X_s = jax.ShapeDtypeStruct((B, C.shape[-1], r), C.dtype)
+                if not (wgram_supported(C) and proj2_supported(Y_s, C, X_s)):
+                    return False
+            return True
+
+        def _factorize(C, Gk, Lk, k):
+            """Shared per-edge factorization: interface transforms X, Y."""
+            F, Finv = _sqrt_factor(Lk)
+            A = jnp.swapaxes(jnp.conj(F), -1, -2) @ Gk @ F
+            r = _edge_rank(k)
             if edge_solver == "rand" and r < A.shape[-1]:
                 U = _subspace_topr(A, r)
             else:
@@ -792,6 +826,42 @@ def round_tt_gram_batched(cores, rmax, edge_solver: str = "eigh",
                 U = V[..., ::-1][..., :r]
             X = Finv @ U
             Y = jnp.swapaxes(jnp.conj(U), -1, -2) @ jnp.swapaxes(jnp.conj(F), -1, -2)
+            return X, Y
+
+        if _nopush_ok():
+            out = list(cores)
+            Yp = None
+            for k in range(1, N):
+                C = cores[k - 1]  # original core: pushes are deferred
+                if Yp is None:
+                    # First edge (Rl == 1): plain left-unfolding Gram
+                    Lk = jnp.einsum("zaib,zaid->zbd", jnp.conj(C), C)
+                else:
+                    W = jnp.einsum("zra,zrd->zad", jnp.conj(Yp), Yp)
+                    Lk = pallas_wgram(C, W, precision=precision,
+                                      interpret=interpret)
+                X, Y = _factorize(C, G[k], Lk, k)
+                if Yp is None:
+                    out[k - 1] = jnp.einsum("zaib,zbc->zaic", C, X)
+                else:
+                    out[k - 1] = pallas_proj2(Yp, C, X, precision=precision,
+                                              interpret=interpret)
+                Yp = Y
+            Cn = cores[N - 1]
+            out[N - 1] = jnp.einsum(
+                "zrb,zbj->zrj", Yp, Cn.reshape(B, Cn.shape[1], -1)
+            ).reshape(B, Yp.shape[1], Cn.shape[2], Cn.shape[3])
+            return tuple(out)
+
+        for k in range(1, N):
+            C = cores[k - 1]
+            # Left-prefix Gram: the prefix interface is exactly orthonormal
+            # after each edge's projection (U^T F^-1 Lk F^-T U = I), so the
+            # L-weighting is the identity — a plain right-unfolding Gram,
+            # one contiguous batched SYRK GEMM with no intermediate
+            Lk = jnp.einsum("zaib,zaid->zbd", jnp.conj(C), C)
+            X, Y = _factorize(C, G[k], Lk, k)
+            r = _edge_rank(k)
             cores[k - 1] = jnp.einsum("zaib,zbc->zaic", C, X)
             nxt = cores[k]
             cores[k] = jnp.einsum(
