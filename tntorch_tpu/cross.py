@@ -98,10 +98,12 @@ _BATCHED_MIN_STATS = {"onestream": False, "chunks": 0}
 # tunnel round trip) happens once per chunk, so depth trades wasted
 # speculative iterations against host syncs. eps runs typically need >=4
 # sweeps, so a deep first chunk wastes nothing; later chunks stay shallower
-# because convergence can land anywhere inside them. Tuned on the 5-D
-# Hilbert TPU run (see PERF.md).
-_CHUNK_DEPTH_FIRST = 4
-_CHUNK_DEPTH_NEXT = 2
+# because convergence can land anywhere inside them (the chunk result is
+# truncated at the first converged in-chunk iteration either way). Swept on
+# the warm 5-D Hilbert TPU run: (4,2) 57.5 ms, (6,2) 52.3, (6,4) 48.5,
+# (8,4) 52.1, (10,6) 54.3 — (6,4) best on min and median (see PERF.md).
+_CHUNK_DEPTH_FIRST = 6
+_CHUNK_DEPTH_NEXT = 4
 
 
 def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
