@@ -554,18 +554,11 @@ def main():
             print(f"# {prec} bench failed: {e}", file=sys.stderr)
 
     _stage("precision_modes")
-    try:
-        extra["sparse_tt_svd_samples_per_s"] = round(bench_sparse_tt_svd(), 1)
-    except Exception as e:
-        print(f"# sparse_tt_svd bench failed: {e}", file=sys.stderr)
-    try:
-        extra["sparse_tt_svd_sketched_samples_per_s"] = round(
-            bench_sparse_tt_svd_large(), 1
-        )
-    except Exception as e:
-        print(f"# sketched sparse_tt_svd bench failed: {e}", file=sys.stderr)
-    _stage("sparse_tt_svd")
 
+    # Cross runs BEFORE the sparse stages: the sketched sparse_tt_svd's
+    # ~0.5 GB device allocations were measured to perturb the cross stage's
+    # latency-bound chunk timings when it ran last (0.118 s vs 0.070 s in
+    # isolation)
     try:
         hilbert_s, evals_s = bench_cross_ours()
         extra["cross_hilbert_warm_s"] = round(hilbert_s, 4)
@@ -578,6 +571,18 @@ def main():
     except Exception as e:
         print(f"# cross bench failed: {e}", file=sys.stderr)
     _stage("cross")
+
+    try:
+        extra["sparse_tt_svd_samples_per_s"] = round(bench_sparse_tt_svd(), 1)
+    except Exception as e:
+        print(f"# sparse_tt_svd bench failed: {e}", file=sys.stderr)
+    try:
+        extra["sparse_tt_svd_sketched_samples_per_s"] = round(
+            bench_sparse_tt_svd_large(), 1
+        )
+    except Exception as e:
+        print(f"# sketched sparse_tt_svd bench failed: {e}", file=sys.stderr)
+    _stage("sparse_tt_svd")
 
     try:
         t_base, _ = bench_torch_cpu(cores_np, rmax)

@@ -327,7 +327,10 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
                 if resid <= delta**2 or k >= min(cap, rmax):
                     break
                 k = int(min(cap, 2 * k))  # sketch too narrow for eps: widen
-            if resid > delta**2 and rank < dim:
+            if resid > delta**2 and rmax > k:
+                # Only when the SKETCH width is the binding constraint — a
+                # user rmax below k caps the rank deliberately (the dense
+                # path is silent there too)
                 logger.warning(
                     "sparse_tt_svd: sketched unfolding (%d rows) could not "
                     "reach eps within the k=%d sketch cap (left-over energy "
