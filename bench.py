@@ -383,6 +383,36 @@ def bench_cross_ours():
     return hilbert_s, info["nsamples"] / wall
 
 
+def bench_cross_callback():
+    """Host-callback (non-traceable NumPy f) cross throughput — the
+    reference's flagship `domain=` usage (cross.ipynb cell 1, BASELINE.md
+    rows 2-3). Where the backend supports jax.pure_callback the host f is
+    embedded in the fused chunk program; tunneled PJRT plugins (axon) raise
+    UNIMPLEMENTED for host callbacks, so there this records the eager-path
+    number (the probe falls back automatically)."""
+    import jax.numpy as jnp
+
+    import tntorch_tpu as tn
+
+    N, I, R = _CROSS_N, _CROSS_I, _CROSS_R
+    d2 = [jnp.linspace(1, I, I, dtype=jnp.float32)] * N
+
+    def fh_np(a, b, c, dd, e):
+        # numpy ufuncs on host arrays: NOT jnp-traceable
+        return 1.0 / (np.asarray(a) + np.asarray(b) + np.asarray(c)
+                      + np.asarray(dd) + np.asarray(e))
+
+    kw = dict(function=fh_np, domain=d2, ranks_tt=R, max_iter=2, verbose=False,
+              seed=0, suppress_warnings=True, return_info=True)
+    t2, info = tn.cross(**kw)
+    _sync(t2.cores[0])
+    t0 = time.perf_counter()
+    t2, info = tn.cross(**kw)
+    _sync(t2.cores[0])
+    wall = time.perf_counter() - t0
+    return info["nsamples"] / wall
+
+
 def bench_cross_torch_cpu():
     """The same fixed-rank cross sweeps in PyTorch on CPU: fiber einsum
     evaluation + QR + maxvol pivoting + interpolation solve — the reference's
@@ -567,9 +597,18 @@ def main():
             base_evals_s = bench_cross_torch_cpu()
             extra["cross_evals_per_s_vs_torch_cpu"] = round(evals_s / base_evals_s, 2)
         except Exception as e:
+            base_evals_s = None
             print(f"# cross torch baseline failed: {e}", file=sys.stderr)
     except Exception as e:
+        base_evals_s = None
         print(f"# cross bench failed: {e}", file=sys.stderr)
+    try:
+        cb_evals_s = bench_cross_callback()
+        extra["cross_callback_evals_per_s"] = round(cb_evals_s, 1)
+        if base_evals_s:
+            extra["cross_callback_vs_torch_cpu"] = round(cb_evals_s / base_evals_s, 2)
+    except Exception as e:
+        print(f"# cross callback bench failed: {e}", file=sys.stderr)
     _stage("cross")
 
     try:

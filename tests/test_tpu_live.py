@@ -136,6 +136,37 @@ for b, m in enumerate(members):
     assert abs(rm[b] - single) < 5e-2 * max(abs(single), 1e-6), (b, rm[b], single)
 tn.set_policy("default")
 
+# --- sketched sparse_tt_svd on a tall unfolding (randomized range finder;
+# the dense path would need a 16384^2 Gram eigh)
+shape_sk = [16384, 16, 16]
+gt_sk = tn.rand(tuple(shape_sk), ranks_tt=3, key=jax.random.key(60))
+S_sk = np.sort(rng.choice(shape_sk[0], 30, replace=False))
+ii2, ii3 = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+cols_sk = np.stack([ii2.ravel(), ii3.ravel()], axis=1)
+X_sk = np.concatenate(
+    [np.repeat(S_sk, 256)[:, None], np.tile(cols_sk, (30, 1))], axis=1)
+y_sk = np.asarray(gt_sk[jnp.asarray(X_sk)].numpy())
+t_sk = tn.sparse_tt_svd(X_sk, y_sk, eps=3e-3, shape=shape_sk, rmax=8)
+pred_sk = np.asarray(t_sk[jnp.asarray(X_sk[:2000])].numpy())
+rel_sk = np.linalg.norm(pred_sk - y_sk[:2000]) / np.linalg.norm(y_sk[:2000])
+assert rel_sk < 5e-2, rel_sk
+
+# --- no-push batched Gram rounding (128-lane-aligned ranks route through
+# pallas_wgram / pallas_proj2 on the chip) vs the einsum push sweep
+from tntorch_tpu.ops.rounding import round_tt_gram_batched, tt_full
+rk = [1, 128, 128, 128, 1]
+bc = tuple(
+    jnp.asarray(rng.standard_normal((2, rk[n], 16, rk[n + 1])) / 12.0,
+                np.float32)
+    for n in range(4)
+)
+nopush = round_tt_gram_batched(bc, 64, "rand", True, "highest")
+push = round_tt_gram_batched(bc, 64, "rand", False, "highest")
+fullb = jax.vmap(tt_full)
+d_np, d_p = np.asarray(fullb(nopush)), np.asarray(fullb(push))
+rel_np = np.linalg.norm(d_np - d_p) / np.linalg.norm(d_p)
+assert rel_np < 1e-3, rel_np
+
 # --- serialization round trip with device arrays
 import tempfile, os as _os
 with tempfile.TemporaryDirectory() as td:

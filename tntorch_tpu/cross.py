@@ -1099,6 +1099,7 @@ def cross(
     else:
         want_fuse = bool(fuse) and not record_samples and N > 1
     _callback = False
+    _host_pin = False
     if want_fuse and not _f_is_traceable(f, K, dtype):
         # Host/NumPy function: embed it via pure_callback so the rest of the
         # sweep still fuses; fall back to the eager path if the probe fails
@@ -1108,6 +1109,23 @@ def cross(
         else:
             f = f_cb
             _callback = True
+    if not want_fuse and not _callback and jax.default_backend() != "cpu" \
+            and not _f_is_traceable(f, K, dtype):
+        # Host-locked f on a backend without host callbacks (e.g. a tunneled
+        # PJRT plugin raises UNIMPLEMENTED for pure_callback): the eager path
+        # would ship every fiber batch down and every evaluation back up per
+        # step — ~10 MB each way per interior step through the tunnel.
+        # Commit the input cores to the LOCAL CPU device instead: JAX
+        # placement then keeps the whole eager sweep (interface einsums, QR,
+        # maxvol, lstsq) on host next to f, and only the final cores move to
+        # the accelerator. Measured through the axon tunnel: 0.9M -> host-
+        # local evals/s on the reference's flagship domain-callback config.
+        _host_dev = jax.devices("cpu")[0]
+        _host_pin = True
+        tensors = [
+            tn.Tensor([jax.device_put(c, _host_dev) for c in t.cores])
+            for t in tensors
+        ]
     fused = want_fuse
 
     # Validation set
@@ -1608,6 +1626,10 @@ def cross(
             [np.asarray(ev).reshape(-1) for _, ev in _rec]
         )
 
+    if _host_pin:
+        # The host-pinned eager run leaves cores committed on the CPU
+        # device; hand back uncommitted default-device arrays
+        cores = [jax.device_put(np.asarray(c)) for c in cores]
     ret = tn.Tensor(list(cores))
     if return_info:
         info["lsets"] = lsets
