@@ -333,6 +333,31 @@ def test_hostlocked_f_pins_eager_run_to_cpu(monkeypatch):
                        eps=1e-8, verbose=False, seed=0, fuse=True,
                        return_info=True)
     assert not info["fused"] and not info["callback"]
+    assert info["host_pinned"]
+    gt = 1.0 / sum(np.meshgrid(*dom, indexing="ij"))
+    assert np.linalg.norm(np.asarray(h.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
+
+
+def test_hostlocked_f_not_pinned_when_callbacks_supported(monkeypatch):
+    """The host pin is gated on callback support, not merely on the eager
+    path being taken: on a backend that CAN host pure_callback, a user who
+    explicitly chose eager (fuse=False / record_samples=True) keeps the
+    sweep on the accelerator as selected."""
+    import sys
+
+    cross_mod = sys.modules["tntorch_tpu.cross"]
+    monkeypatch.setattr(cross_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cross_mod, "_backend_supports_callbacks", lambda: True)
+
+    dom = [np.linspace(1.0, 8.0, 8)] * 3
+
+    def f_host(*X):
+        return 1.0 / np.sum(np.stack([np.asarray(x) for x in X]), axis=0)
+
+    h, info = tn.cross(function=f_host, domain=[jnp.asarray(d) for d in dom],
+                       eps=1e-8, verbose=False, seed=0, fuse=False,
+                       return_info=True)
+    assert not info["fused"] and not info["host_pinned"]
     gt = 1.0 / sum(np.meshgrid(*dom, indexing="ij"))
     assert np.linalg.norm(np.asarray(h.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
 
@@ -353,6 +378,31 @@ def test_batched_cross_return_info():
     out2, infos2 = tn.cross(lambda x: x + 1.0, tensors=[bt], verbose=False,
                             seed=3, return_info=True, record_samples=True)
     assert all(inf["sample_positions"].shape[0] > 0 for inf in infos2)
+
+
+def test_select_converged_ignores_postconvergence_nans():
+    """The batched chunk-selection must tolerate NaN/Inf in speculative
+    iterations PAST the convergence point (the non-batched fused loop breaks
+    at the converged iteration without inspecting later ones), but still
+    raise on a pre-convergence non-finite iteration."""
+    import pytest
+
+    from tntorch_tpu.cross import _select_converged
+
+    eps = 1e-3
+    # B=2, S=3: every sample converges at s=1; s=2 went non-finite
+    epss = np.array([[1.0, 1e-4, 5.0], [0.5, 1e-5, np.nan]])
+    finites = np.array([[True, True, False], [True, True, False]])
+    sel, conv = _select_converged(epss, finites, eps, (None, "test"))
+    assert sel == 1 and conv
+    # Non-finite BEFORE convergence: must raise
+    finites_bad = np.array([[False, True, True], [True, True, True]])
+    with pytest.raises(ValueError):
+        _select_converged(epss, finites_bad, eps, (None, "test"))
+    # No convergence, all finite: last iteration selected
+    epss_nc = np.full((2, 3), 1.0)
+    sel, conv = _select_converged(epss_nc, np.ones((2, 3), bool), eps, (None, "t"))
+    assert sel == 2 and not conv
 
 
 def test_batched_minimize_one_stream():

@@ -212,3 +212,34 @@ def test_als_completion_restarts_never_returns_none():
     t = tn.als_completion(jnp.asarray(X), y, ranks_tt=2, shape=[6, 6],
                           niter=0, verbose=False, restarts=3)
     assert t is not None and hasattr(t, "cores")
+
+
+def test_sparse_tt_svd_f32_noise_floor(monkeypatch):
+    """At f32, Gram eigenvalues carry an O(eps_f32 * energy) roundoff floor
+    (measured ~2.4 eps_f32 * energy per noise eigenvalue on TPU). An eps
+    below f32's certifiable resolution must NOT make rank selection keep
+    that phantom tail: a fully-sampled exactly rank-3 tensor comes back
+    rank 3, on both the dense and the sketched path."""
+    from tntorch_tpu import interpolation as interp
+
+    gt = tn.rand((16, 16, 16), ranks_tt=3, key=jax.random.key(11))
+    full64 = np.asarray(gt.numpy())
+    idx = np.stack(
+        np.meshgrid(*[np.arange(16)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    y32 = full64.reshape(-1).astype(np.float32)
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        t = tn.sparse_tt_svd(idx, y32, eps=1e-5)
+        assert max(t.ranks_tt) <= 3, t.ranks_tt
+        rerr = np.linalg.norm(np.asarray(t.numpy(), np.float64) - full64) \
+            / np.linalg.norm(full64)
+        assert rerr < 1e-3, rerr
+        # sketched path at f32: same floor stops both the rank inflation
+        # and a runaway sketch-widening loop
+        monkeypatch.setattr(interp, "_SPARSE_DENSE_ROWS_MAX", 8)
+        t2 = tn.sparse_tt_svd(idx, y32, eps=1e-5)
+        assert max(t2.ranks_tt) <= 3, t2.ranks_tt
+    finally:
+        jax.config.update("jax_enable_x64", True)

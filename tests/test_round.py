@@ -232,3 +232,20 @@ def test_round_budget_from_kernel_spectra():
     rel = np.linalg.norm(np.asarray(sb.numpy()) - 2 * np.asarray(Xb)) \
         / np.linalg.norm(2 * np.asarray(Xb))
     assert rel < 1e-10
+
+
+def test_round_forwards_only_tucker_kwargs():
+    """round(verbose=...) must not crash the Tucker stage: round_tt extras
+    are filtered before forwarding (round_tucker takes eps/rmax/dim/
+    algorithm only). Covers both the kernel-budget path (verbose=False) and
+    the clone path (verbose=True)."""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((8, 8, 8)))
+    for verbose in (False, True):
+        t = tn.Tensor(X, ranks_tt=6)
+        s = t + t
+        s.round(1e-10, algorithm="svd", verbose=verbose)
+        assert list(s.ranks_tt) == [1, 6, 6, 1]
+        rel = np.linalg.norm(np.asarray(s.numpy()) - 2 * np.asarray(t.numpy())) \
+            / np.linalg.norm(2 * np.asarray(t.numpy()))
+        assert rel < 1e-9

@@ -151,6 +151,27 @@ pred_sk = np.asarray(t_sk[jnp.asarray(X_sk[:2000])].numpy())
 rel_sk = np.linalg.norm(pred_sk - y_sk[:2000]) / np.linalg.norm(y_sk[:2000])
 assert rel_sk < 5e-2, rel_sk
 
+# --- sketched sparse_tt_svd, TIGHT f32 eps on an exactly low-rank tensor:
+# catches matmul-precision leaks the loose case above cannot. At the TPU
+# ambient default (single-pass bf16) the sketch Gram's eigenvalue sum is
+# ~1e-2*energy off, the widening loop escalates to the cap, and rank
+# selection keeps sketch noise: observed ranks [1,3,16,1] + a spurious
+# eps-miss warning before _sketch_range_kernel pinned 'highest'.
+import tntorch_tpu.interpolation as _interp
+gt_nf = tn.rand((16, 16, 16), ranks_tt=3, key=jax.random.key(11))
+full_nf = np.asarray(gt_nf.numpy(), np.float64)
+idx_nf = np.stack(np.meshgrid(*[np.arange(16)] * 3, indexing="ij"), -1).reshape(-1, 3)
+_saved_rows_max = _interp._SPARSE_DENSE_ROWS_MAX
+_interp._SPARSE_DENSE_ROWS_MAX = 8  # force the sketched path at every mode
+try:
+    t_nf = tn.sparse_tt_svd(idx_nf, full_nf.reshape(-1).astype(np.float32), eps=1e-5)
+finally:
+    _interp._SPARSE_DENSE_ROWS_MAX = _saved_rows_max
+assert max(t_nf.ranks_tt) <= 3, t_nf.ranks_tt
+rel_nf = np.linalg.norm(np.asarray(t_nf.numpy(), np.float64) - full_nf) \
+    / np.linalg.norm(full_nf)
+assert rel_nf < 1e-4, rel_nf
+
 # --- no-push batched Gram rounding (128-lane-aligned ranks route through
 # pallas_wgram / pallas_proj2 on the chip) vs the einsum push sweep
 from tntorch_tpu.ops.rounding import round_tt_gram_batched, tt_full

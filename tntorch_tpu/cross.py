@@ -17,6 +17,7 @@ Tyrtyshnikov 2009; Savostyanov & Oseledets 2011). TPU-oriented layout:
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from typing import Any, Callable, Optional, Sequence, Union
@@ -90,6 +91,65 @@ def _negated(function):
     return w
 
 
+def _wrap_user_function(function, function_arg, detach_evaluations):
+    """Apply the function_arg='matrix' and detach_evaluations wrappers — ONE
+    definition shared by cross() and the batched-minimize path so the two
+    call the user function with identical semantics."""
+    if function_arg == "matrix":
+        def f(*args):
+            return function(jnp.concatenate([a[:, None] for a in args], axis=1))
+    else:
+        f = function
+    if detach_evaluations:
+        _g = f
+
+        def f(*args):  # noqa: F811 — deliberate re-binding
+            return jax.lax.stop_gradient(_g(*args))
+
+    return f
+
+
+def _grow_schedule(curRs, Is, rmax, kickrank):
+    """Kickrank rank-growth recurrence — ONE definition shared by the fused,
+    eager, and batched-minimize paths so their rank schedules (and therefore
+    their rng streams) cannot desynchronize."""
+    N = len(Is)
+    newRs = curRs.copy()
+    newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
+    for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
+        newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
+    return newRs
+
+
+def _draw_extra(rng, Is, newRs):
+    """Random kick rows for every interior edge, one rng draw per edge (the
+    draw ORDER is part of the schedule contract shared across paths)."""
+    N = len(Is)
+    return np.hstack(
+        [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
+        + [np.zeros([max(newRs), 1], dtype=int)]
+    )
+
+
+def _select_converged(epss, finites, eps, what):
+    """Pick the first in-chunk iteration where EVERY sample's validation eps
+    clears the target. Finiteness is checked in iteration order and only up
+    to the selected iteration: speculative iterations past the convergence
+    point may legitimately probe pivots where f blows up, exactly as the
+    non-batched fused loop ignores them. Returns (sel, converged); raises
+    ValueError on a non-finite pre-convergence iteration."""
+    S = epss.shape[1]
+    for s in range(S):
+        if not finites[:, s].all():
+            raise ValueError(
+                "Invalid return value (NaN/Inf) from function {} during "
+                "{}".format(what[0], what[1])
+            )
+        if (epss[:, s] < eps).all():
+            return s, True
+    return S - 1, False
+
+
 # Telemetry for the one-stream batched minimize (white-box testability:
 # asserts the ensemble min ran as ONE vmapped dispatch stream, not B loops)
 _BATCHED_MIN_STATS = {"onestream": False, "chunks": 0}
@@ -118,7 +178,6 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
     admit the vmapped path (non-traceable f, unknown kwargs, fuse=False, CPU
     under fuse='auto') — caller falls back to the per-sample loop.
     """
-    import functools
 
     supported = {"seed", "eps", "val_size", "kickrank", "function_arg",
                  "fuse", "detach_evaluations", "suppress_warnings",
@@ -131,16 +190,9 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
     if fuse in (None, "auto") and jax.default_backend() == "cpu":
         return None
     function_arg = kwargs.get("function_arg", "vectors")
-    if function_arg == "matrix":
-        def f(*args):
-            return function(jnp.concatenate([a[:, None] for a in args], axis=1))
-    else:
-        f = function
-    if kwargs.get("detach_evaluations"):
-        _g = f
-
-        def f(*args):
-            return jax.lax.stop_gradient(_g(*args))
+    f = _wrap_user_function(
+        function, function_arg, bool(kwargs.get("detach_evaluations"))
+    )
 
     ts = list(tensors) if isinstance(tensors, (list, tuple)) else [tensors]
     ts = [t.decompress_tucker_factors(_clone=False) for t in ts]
@@ -169,10 +221,7 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
         Rs[n] = min(Rs[n - 1] * Is[n - 1], Rs[n], Is[n] * Rs[n + 1])
 
     rng = np.random.default_rng(kwargs.get("seed"))
-    randint = np.hstack(
-        [rng.integers(0, Is[n + 1], [max(Rs), 1]) for n in range(N - 1)]
-        + [np.zeros([max(Rs), 1], dtype=int)]
-    )
+    randint = _draw_extra(rng, Is, Rs)
     # Shared initial random right index sets: each sample treats them as its
     # random kicks (shapes must be uniform for the vmap)
     rsets_b = [
@@ -185,12 +234,6 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
 
     tcores = tuple(tuple(t.cores) for t in ts)  # each (B, ...) leading
 
-    def _grow(curRs):
-        newRs = curRs.copy()
-        newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
-        for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
-            newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
-        return newRs
 
     # vmapped fused chunk: cores/mz/rcols/ys carry the leading B; schedule,
     # kick rows and validation coordinates are shared. Cached per function.
@@ -232,11 +275,8 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
         if kickrank is not None:
             cur = Rs
             for _ in range(S - 1):
-                newRs = _grow(cur)
-                extra = np.hstack(
-                    [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
-                    + [np.zeros([max(newRs), 1], dtype=int)]
-                )
+                newRs = _grow_schedule(cur, Is, rmax, kickrank)
+                extra = _draw_extra(rng, Is, newRs)
                 extras_chunk.append(tuple(
                     jnp.asarray(extra[: newRs[n + 1] - cur[n + 1], n:], dtype=jnp.int32)
                     for n in range(N - 1)
@@ -260,19 +300,11 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
         _BATCHED_MIN_STATS["chunks"] += 1
         stats = np.asarray(stats_dev)  # (B, 2S): one sync per chunk
         epss, finites = stats[:, :S], stats[:, S:] > 0.5
-        if not finites.all():
-            raise ValueError(
-                "Invalid return value (NaN/Inf) from function {} during "
-                "batched cross-minimize".format(function)
-            )
-        # First in-chunk iteration where EVERY sample's val eps clears the
-        # target; the minimize state is cumulative so later is never worse
-        sel = S - 1
-        for s in range(S):
-            if (epss[:, s] < eps).all():
-                sel = s
-                converged = True
-                break
+        # The minimize state is cumulative so a later sel is never worse
+        sel, conv = _select_converged(
+            epss, finites, eps, (function, "batched cross-minimize")
+        )
+        converged = converged or conv
         if verbose:
             bvals = np.asarray(mz_stack[0][:, sel])
             print("batched minimize: iters {}..{} | best per sample: {}".format(
@@ -290,11 +322,8 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
             off += R
         Rs = schedule[-1]
         if kickrank is not None:
-            newRs = _grow(Rs)
-            extra = np.hstack(
-                [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
-                + [np.zeros([max(newRs), 1], dtype=int)]
-            )
+            newRs = _grow_schedule(Rs, Is, rmax, kickrank)
+            extra = _draw_extra(rng, Is, newRs)
             for n in range(N - 1):
                 if newRs[n + 1] > Rs[n + 1]:
                     ext = np.broadcast_to(
@@ -826,7 +855,6 @@ def _get_fused_chunk(f, cache_key=None, fiber_sharding=None):
     detach_evaluations), forcing a full re-trace per call. The fiber
     sharding (mesh placement) is part of the key: the same function traced
     with and without sharding constraints compiles to different programs."""
-    import functools
 
     key = (cache_key if cache_key is not None else id(f), fiber_sharding)
     ent = _fused_iter_cache.get(key)
@@ -987,19 +1015,7 @@ def cross(
 
     assert domain is not None or tensors is not None
     assert function_arg in ("vectors", "matrix")
-    if function_arg == "matrix":
-        def f(*args):
-            return function(jnp.concatenate([arg[:, None] for arg in args], axis=1))
-    else:
-        f = function
-
-    if detach_evaluations:
-        def build_function_wrapper(func):
-            def g(*args):
-                res = func(*args)
-                return jax.lax.stop_gradient(res)
-            return g
-        f = build_function_wrapper(f)
+    f = _wrap_user_function(function, function_arg, detach_evaluations)
 
     if tensors is None:
         tensors = tn.meshgrid(domain)
@@ -1078,10 +1094,7 @@ def cross(
 
     # Left and right index sets
     lsets = [np.array([[0]])] + [None] * (N - 1)
-    randint = np.hstack(
-        [rng.integers(0, Is[n + 1], [max(Rs), 1]) for n in range(N - 1)]
-        + [np.zeros([max(Rs), 1], dtype=int)]
-    )
+    randint = _draw_extra(rng, Is, Rs)
     rsets = [randint[: Rs[n + 1], n:] for n in range(N - 1)] + [np.array([[0]])]
 
     # Fused-sweep fast path: whole LTR+RTL iteration chunks as one XLA
@@ -1110,7 +1123,8 @@ def cross(
             f = f_cb
             _callback = True
     if not want_fuse and not _callback and jax.default_backend() != "cpu" \
-            and not _f_is_traceable(f, K, dtype):
+            and not _f_is_traceable(f, K, dtype) \
+            and not _backend_supports_callbacks():
         # Host-locked f on a backend without host callbacks (e.g. a tunneled
         # PJRT plugin raises UNIMPLEMENTED for pure_callback): the eager path
         # would ship every fiber batch down and every evaluation back up per
@@ -1120,6 +1134,10 @@ def cross(
         # maxvol, lstsq) on host next to f, and only the final cores move to
         # the accelerator. Measured through the axon tunnel: 0.9M -> host-
         # local evals/s on the reference's flagship domain-callback config.
+        # Gated on callback support, NOT just on the eager path being taken:
+        # when the backend can host callbacks and the user explicitly chose
+        # eager (fuse=False / record_samples=True), the sweep stays on the
+        # accelerator as selected.
         _host_dev = jax.devices("cpu")[0]
         _host_pin = True
         tensors = [
@@ -1153,7 +1171,8 @@ def cross(
     converged = False
 
     info = {"nsamples": 0, "eval_time": 0, "compile_time": 0, "val_epss": [],
-            "min": 0, "argmin": None, "fused": fused, "callback": _callback}
+            "min": 0, "argmin": None, "fused": fused, "callback": _callback,
+            "host_pinned": _host_pin}
     if record_samples:
         # One column per INPUT TENSOR (= per coordinate in domain mode,
         # where the inputs are the meshgrid tensors; the reference sized
@@ -1283,20 +1302,12 @@ def cross(
         "arg": jnp.zeros((N,), dtype=jnp.int32),
     }
 
-    def _grow_schedule(curRs):
-        """Kickrank rank-growth recurrence (shared by the fused and eager
-        paths so their schedules and rng streams cannot desynchronize)."""
-        newRs = curRs.copy()
-        newRs[1:-1] = np.minimum(rmax, newRs[1:-1] + kickrank)
-        for n in list(range(1, N)) + list(range(N - 1, 0, -1)):
-            newRs[n] = min(newRs[n - 1] * Is[n - 1], newRs[n], Is[n] * newRs[n + 1])
-        return newRs
-
-    def _draw_extra(newRs):
-        return np.hstack(
-            [rng.integers(0, Is[n + 1], [max(newRs), 1]) for n in range(N - 1)]
-            + [np.zeros([max(newRs), 1], dtype=int)]
-        )
+    # Module-level _grow_schedule/_draw_extra, bound to this run's params
+    # (shared with the batched-minimize path — see their docstrings)
+    _grow_schedule_local = functools.partial(
+        _grow_schedule, Is=Is, rmax=rmax, kickrank=kickrank
+    )
+    _draw_extra_local = functools.partial(_draw_extra, rng, Is)
 
     if fused:
 
@@ -1328,8 +1339,8 @@ def cross(
             if kickrank is not None:
                 cur = Rs
                 for _ in range(S - 1):
-                    newRs = _grow_schedule(cur)
-                    extra = _draw_extra(newRs)
+                    newRs = _grow_schedule_local(cur)
+                    extra = _draw_extra_local(newRs)
                     extras_chunk.append(tuple(
                         jnp.asarray(
                             extra[: newRs[n + 1] - cur[n + 1], n:], dtype=jnp.int32
@@ -1434,8 +1445,8 @@ def cross(
                 off += R
             rsets.append(np.array([[0]]))
             if kickrank is not None:  # grow ranks between chunks
-                newRs = _grow_schedule(Rs)
-                extra = _draw_extra(newRs)
+                newRs = _grow_schedule_local(Rs)
+                extra = _draw_extra_local(newRs)
                 for n in range(N - 1):
                     if newRs[n + 1] > Rs[n + 1]:
                         rsets[n] = np.vstack(
@@ -1588,8 +1599,8 @@ def cross(
         if converged:
             break
         elif i < max_iter - 1 and kickrank is not None:  # grow ranks
-            newRs = _grow_schedule(Rs)
-            extra = _draw_extra(newRs)
+            newRs = _grow_schedule_local(Rs)
+            extra = _draw_extra_local(newRs)
             for n in range(N - 1):
                 if newRs[n + 1] > Rs[n + 1]:
                     rsets[n] = np.vstack([rsets[n], extra[: newRs[n + 1] - Rs[n + 1], n:]])

@@ -214,17 +214,26 @@ def _sketch_range_kernel(rows, cols, ys, nrows, ncols, k, key):
     exactly rank-deficient and a jittered Cholesky would emit junk columns
     that break the energy accounting resid = ||D||_F^2 - ||Q^T D||_F^2.
     """
-    contrib = ys[:, None]
-    Om = jax.random.normal(key, (ncols, k), dtype=ys.dtype)
-    Y = jnp.zeros((nrows, k), ys.dtype).at[rows].add(contrib * Om[cols])
-    # one power iteration (subspace D D^T D Om), QR-stabilized
-    Z = jnp.zeros((ncols, k), ys.dtype).at[cols].add(contrib * Y[rows])
-    Z, _ = jnp.linalg.qr(Z)
-    Y = jnp.zeros((nrows, k), ys.dtype).at[rows].add(contrib * Z[cols])
-    Q, _ = jnp.linalg.qr(Y)
-    Bt = jnp.zeros((ncols, k), ys.dtype).at[cols].add(contrib * Q[rows])
-    w, vecs = jnp.linalg.eigh(Bt.T @ Bt)  # ascending; w ~ sigma^2 of D
-    return w, vecs, Q, Bt, jnp.vdot(ys, ys).real
+    # Exact (3-pass) f32 matmuls: at the TPU default (single-pass bf16) the
+    # Gram's eigenvalue sum is ~1e-2 relative off ||Q^T D||_F^2, so the
+    # energy cancellation resid = ||D||_F^2 - sum(w) reads ~1e-2*energy of
+    # phantom unseen spectrum — the widening loop then escalates to the cap
+    # and rank selection keeps sketch-noise columns (observed on v5e: a
+    # planted rank-3 unfolding came back rank 16 with a spurious eps-miss
+    # warning). The noise-floor logic in sparse_tt_svd assumes eps(dtype)
+    # roundoff, which only holds with exact-precision accumulation.
+    with jax.default_matmul_precision("highest"):
+        contrib = ys[:, None]
+        Om = jax.random.normal(key, (ncols, k), dtype=ys.dtype)
+        Y = jnp.zeros((nrows, k), ys.dtype).at[rows].add(contrib * Om[cols])
+        # one power iteration (subspace D D^T D Om), QR-stabilized
+        Z = jnp.zeros((ncols, k), ys.dtype).at[cols].add(contrib * Y[rows])
+        Z, _ = jnp.linalg.qr(Z)
+        Y = jnp.zeros((nrows, k), ys.dtype).at[rows].add(contrib * Z[cols])
+        Q, _ = jnp.linalg.qr(Y)
+        Bt = jnp.zeros((ncols, k), ys.dtype).at[cols].add(contrib * Q[rows])
+        w, vecs = jnp.linalg.eigh(Bt.T @ Bt)  # ascending; w ~ sigma^2 of D
+        return w, vecs, Q, Bt, jnp.vdot(ys, ys).real
 
 
 # Unfoldings taller than this take the sketched (randomized range finder)
@@ -248,12 +257,20 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
     Unfoldings with more than ``_SPARSE_DENSE_ROWS_MAX`` rows switch to a
     randomized range finder (VERDICT r3 missing #4): the sketch Y = D Om is
     accumulated by scatter-add straight from the COO data, so neither D nor
-    its nrows x nrows Gram is ever materialized; peak memory is O(nrows * k).
+    its nrows x nrows Gram is ever materialized; peak memory is
+    O((nrows + ncols) * k) for the sketch panels (ncols <= nnz unique
+    column patterns).
     The eps rank rule is preserved exactly — the energy outside the sketch,
     ||D||_F^2 - sum(w_sketch), joins the discarded-tail cumsum — and the
     sketch width doubles (up to ``_SPARSE_SKETCH_MAX``) while the tail alone
     exceeds the delta budget, so a planted low-rank tensor is recovered at
     eps with bounded memory.
+
+    An eps below the working dtype's certifiable resolution (relative error
+    ~sqrt(32 * eps(dtype)), i.e. ~2e-3 at f32 / ~8e-8 at f64) is clamped to
+    the Gram roundoff noise floor: eigenvalues indistinguishable from
+    roundoff are discarded rather than kept as rank. Use the f64 CPU backend
+    when you need tighter certification than f32 physically admits.
 
     :param key: PRNG key for the sketched path (default ``jax.random.key(0)``
         so large runs are reproducible); ignored on the dense path.
@@ -276,11 +293,23 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
         rmax = np.iinfo(np.int32).max
 
     delta = eps / np.sqrt(max(N - 1, 1)) * float(jnp.linalg.norm(y))
+    # Gram eigenvalues carry a floating-point noise floor of
+    # O(eps(dtype) * energy) each (the Gram method squares the condition):
+    # measured on a TPU f32 Gram of an exactly rank-3 unfolding, the noise
+    # eigenvalues sit at ~2.4 eps_f32 * energy and their summed tail at
+    # ~20 eps_f32 * energy. Rank selection must not count that phantom tail
+    # as energy to keep — without this floor an eps below f32's certifiable
+    # resolution (~sqrt(eps_f32) relative error) keeps EVERY noise
+    # eigenvalue and a planted rank-3 tensor comes back with ranks 31/959.
+    # At f64 the floor is ~7e-15 * energy — far below any practical delta.
+    eps_dtype = float(np.finfo(np.dtype(dtype)).eps)
 
     def _pick_rank(tail, rmax, n_eigs):
         # Keep the largest eigenvalues whose discarded ascending tail fits
-        # in delta^2 (reference's eps rule, interpolation.py:151-158)
-        where = np.where(tail <= delta**2)[0]
+        # in the budget (reference's eps rule, interpolation.py:151-158,
+        # with the dtype noise floor above)
+        budget = max(delta**2, 32.0 * eps_dtype * float(tail[-1]))
+        where = np.where(tail <= budget)[0]
         if len(where) == 0:
             return max(1, int(min(rmax, n_eigs)))
         return max(1, int(min(rmax, n_eigs - 1 - where[-1])))
@@ -296,12 +325,17 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
                 .at[jnp.asarray(Xs[:, 0]), jnp.asarray(v)]
                 .set(ys)
             )
-            w, vecs = jnp.linalg.eigh(D @ D.T)  # ascending; w == sigma^2
+            # Exact f32 Gram: the eps rank rule compares eigenvalue tails
+            # against an eps(dtype) noise floor, which single-pass bf16
+            # matmul (the TPU default) would swamp by ~1e-2*energy
+            with jax.default_matmul_precision("highest"):
+                w, vecs = jnp.linalg.eigh(D @ D.T)  # ascending; w == sigma^2
             tail = np.asarray(jnp.cumsum(jnp.maximum(w, 0.0)))  # mode's sync
             rank = _pick_rank(tail, rmax, len(tail))
             left = vecs[:, ::-1][:, :rank]
             # Device: project the sparse matrix onto the basis
-            FD = left.T @ D  # rank x len(u)
+            with jax.default_matmul_precision("highest"):
+                FD = left.T @ D  # rank x len(u)
         else:
             # Sketched path: never materialize D. Dedupe (row, col) pairs on
             # the host first — the scatter-adds in the kernel would sum
@@ -316,6 +350,12 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
             target = rmax if rmax <= cap else 256
             k = int(min(cap, max(32, 2 * target)))
             mode_key = jax.random.fold_in(key, mode)
+            # resid is a cancellation of two O(||y||^2) accumulated sums, so
+            # it carries the same dtype noise floor as the eigenvalues (see
+            # _pick_rank above). Without the floor, f32 runs with a tight
+            # eps budget would widen the sketch all the way to the cap —
+            # recompiling and allocating (nrows + ncols) x k panels at every
+            # width — chasing a residual that is pure roundoff.
             while True:
                 w, vecs, Q, Bt, energy = _sketch_range_kernel(
                     rows_d, cols_d, ys_d, nrows, ncols, k, mode_key
@@ -324,10 +364,11 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
                 resid = max(0.0, energy - float(tail[-1]))  # unseen spectrum
                 tail = tail + resid
                 rank = _pick_rank(tail, min(rmax, k), k)
-                if resid <= delta**2 or k >= min(cap, rmax):
+                noise_floor = 32.0 * eps_dtype * energy
+                if resid <= max(delta**2, noise_floor) or k >= min(cap, rmax):
                     break
                 k = int(min(cap, 2 * k))  # sketch too narrow for eps: widen
-            if resid > delta**2 and rmax > k:
+            if resid > max(delta**2, noise_floor) and rmax > k:
                 # Only when the SKETCH width is the binding constraint — a
                 # user rmax below k caps the rank deliberately (the dense
                 # path is silent there too)
@@ -338,8 +379,9 @@ def sparse_tt_svd(X, y, eps, shape=None, rmax=None, key=None):
                     nrows, k, np.sqrt(resid), delta, rank,
                 )
             sel = vecs[:, ::-1][:, :rank]
-            left = Q @ sel           # nrows x rank tall panel
-            FD = sel.T @ Bt.T        # rank x len(u) == left^T D exactly
+            with jax.default_matmul_precision("highest"):
+                left = Q @ sel       # nrows x rank tall panel
+                FD = sel.T @ Bt.T    # rank x len(u) == left^T D exactly
         # Host: rebuild the COO index bookkeeping for the merged tensor
         idx = np.unique(v, return_index=True)[1]
         new_row = np.remainder(np.arange(rank * len(u)), rank)

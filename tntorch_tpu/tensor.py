@@ -1529,6 +1529,16 @@ class Tensor:
             if mu > 0:
                 self.right_orthogonalize(mu)
 
+    def _round_tt_computes_reached(self, algorithm: str = "svd", verbose: bool = False, **_ignored) -> bool:
+        """Whether round_tt will take a kernel path that reports the achieved
+        error via ``_round_reached_dev``. ONE definition shared by round_tt's
+        dispatch and round()'s clone-avoidance so the two cannot drift."""
+        return (
+            algorithm in ("eig", "svd")
+            and not verbose
+            and all(U is None for U in self.Us)
+        )
+
     @_policy_precision
     def round_tt(self, eps: float = 1e-14, rmax=None, algorithm: str = "svd", verbose: bool = False):
         """Reduce TT ranks in place: left-orthogonalize, then a right-to-left
@@ -1544,11 +1554,7 @@ class Tensor:
         # relative_error (VERDICT r3 weak #4)
         self._round_reached_dev = None
 
-        if (
-            algorithm in ("eig", "svd")
-            and not verbose
-            and all(U is None for U in self.Us)
-        ):
+        if self._round_tt_computes_reached(algorithm, verbose):
             if self.batch:
                 # Batch rounding keeps fixed rank min(rmax, rows, cols) per
                 # edge (reference round.py:149-150, no error budget): the
@@ -1676,22 +1682,30 @@ class Tensor:
         truncations are orthogonal projections, so err^2 = sum of discarded
         sigma^2) — no extra clone/dot-chain dispatches; other paths keep the
         reference's eager relative_error."""
-        kernel_path = (
-            kwargs.get("algorithm", "svd") in ("eig", "svd")
-            and not kwargs.get("verbose")
-            and all(U is None for U in self.Us)
+        kernel_path = self._round_tt_computes_reached(
+            kwargs.get("algorithm", "svd"), kwargs.get("verbose", False)
         )
         copy = None if kernel_path else self.clone()
         self.round_tt(eps, **kwargs)
         if getattr(self, "_round_reached_dev", None) is not None:
             # max over batch: budget off the WORST sample (one scalar sync)
             reached = float(jnp.max(jnp.asarray(self._round_reached_dev)))
+        elif copy is None:
+            # Defensive: the shared gate said the kernel would report the
+            # reached error but it did not (an internal bail-out path). With
+            # no pre-round clone the error cannot be recomputed; skip the
+            # Tucker stage — round_tt already guarantees error <= eps, so
+            # the contract holds, only some Tucker compression is forfeited.
+            reached = eps
         else:
             # relative_error is (B,) for batch tensors: budget off the WORST
             # sample so no sample can exceed eps
             reached = float(jnp.max(jnp.asarray(tn.relative_error(copy, self))))
         if reached < eps:
-            tkwargs = dict(kwargs)
+            # Forward only the kwargs round_tucker understands: round_tt
+            # extras like verbose= must not crash the Tucker stage
+            tkwargs = {k: v for k, v in kwargs.items()
+                       if k in ("rmax", "dim", "algorithm")}
             if tkwargs.get("algorithm") in ("gram", "randomized"):
                 tkwargs["algorithm"] = "eig"  # TT-stage-only algorithms
             self.round_tucker((1 + eps) / (1 + reached) - 1, **tkwargs)
