@@ -29,3 +29,11 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# Atomic cache writes BEFORE any compilation: a run killed mid-write (or two
+# processes racing on one key) otherwise leaves a truncated entry whose
+# deserialization segfaults the next suite run warm-starting from the shared
+# cache (see utils._patch_atomic_cache_writes).
+from tntorch_tpu.utils import _patch_atomic_cache_writes  # noqa: E402
+
+_patch_atomic_cache_writes()

@@ -321,3 +321,27 @@ def test_round_tt_gram_complex():
     outb = round_tt_gram_batched(bcores, 2, "eigh", False)
     got0 = np.asarray(tt_full(tuple(c[0] for c in outb)))
     assert np.linalg.norm(got0 - ref) / np.linalg.norm(ref) <= 1e-9
+
+
+def test_compilation_cache_writes_are_atomic(tmp_path):
+    """jax's LRUCache.put is patched to tmp-write + os.replace: a reader can
+    never observe a partially-written cache entry (a truncated entry
+    segfaults deserialize_executable in the next warm-start — observed on
+    this suite after a harness-killed run). The patch must be installed,
+    produce complete entries, and leave no tmp droppings."""
+    from jax._src import lru_cache as _lru
+
+    from tntorch_tpu.utils import _patch_atomic_cache_writes
+
+    _patch_atomic_cache_writes()
+    assert getattr(_lru.LRUCache.put, "_tnt_atomic", False)
+
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)  # eviction disabled
+    payload = b"x" * 4096
+    cache.put("entry", payload)
+    assert cache.get("entry") == payload
+    leftovers = [p.name for p in tmp_path.iterdir() if ".tmp." in p.name]
+    assert leftovers == [], leftovers
+    # idempotent: same-key put is a no-op, entry stays intact
+    cache.put("entry", b"different")
+    assert cache.get("entry") == payload

@@ -136,6 +136,56 @@ def enable_compilation_cache(path=None):
     )
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _patch_atomic_cache_writes()
+
+
+def _patch_atomic_cache_writes():
+    """Make jax's on-disk compilation-cache writes atomic (tmp + os.replace).
+
+    jax 0.9's ``lru_cache.LRUCache.put`` ends in a plain
+    ``cache_path.write_bytes(val)``: a process killed mid-write (CI teardown,
+    OOM, ctrl-C) or two processes writing the same key concurrently (xdist
+    workers, example subprocesses sharing the suite cache) can leave a
+    truncated/interleaved entry. Such an entry may still zstd-decompress,
+    and ``backend.deserialize_executable`` on the mangled bytes SEGFAULTS
+    the next process that warm-starts from the cache (observed twice on this
+    repo's suite after a harness-killed run; stack ends in
+    ``compilation_cache.get_executable_and_time``). Writing to a tmp file in
+    the same directory and ``os.replace``-ing guarantees readers only ever
+    see complete entries. Applied at import so subprocesses that enable the
+    cache via ``JAX_COMPILATION_CACHE_DIR`` env (never calling
+    ``enable_compilation_cache``) are protected too."""
+    import os
+
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:  # cache layout changed: fall back to jax's own writes
+        return
+    if getattr(_lru.LRUCache.put, "_tnt_atomic", False):
+        return
+    _orig_put = _lru.LRUCache.put
+
+    def put(self, key, val):
+        if not key or getattr(self, "eviction_enabled", False):
+            # Eviction mode holds a dir lock and bookkeeps sizes — keep
+            # jax's own logic there (eviction is off unless the user sets
+            # JAX_COMPILATION_CACHE_MAX_SIZE; this repo never does)
+            return _orig_put(self, key, val)
+        try:
+            cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            if cache_path.exists():
+                return
+            tmp_path = self.path / f"{key}.tmp.{os.getpid()}"
+            tmp_path.write_bytes(val)
+            os.replace(tmp_path, cache_path)  # same dir: atomic on POSIX
+        except (AttributeError, OSError):
+            return _orig_put(self, key, val)
+
+    put._tnt_atomic = True
+    _lru.LRUCache.put = put
+
+
+_patch_atomic_cache_writes()
 
 
 def seed(s: int) -> None:
