@@ -312,6 +312,49 @@ def test_callback_probe_failure_falls_back():
     assert np.linalg.norm(np.asarray(a.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
 
 
+def test_callback_dtype_change_retraces():
+    """The fused-chunk cache must key on the tensor dtype: the callback
+    wrapper bakes its host-side output dtype at wrap time, so reusing the
+    f32-traced chunk when the SAME host function is crossed again with f64
+    tensors crashed with "Incorrect output dtype for return value #0"
+    (round-4 review finding #1)."""
+
+    def f_np(x):
+        return np.asarray(x) * 3.0 + 1.0
+
+    t64 = tn.rand([6, 6, 6], ranks_tt=2, key=jax.random.key(5))
+    t32 = tn.Tensor([c.astype(jnp.float32) for c in t64.cores])
+    a32, i32 = tn.cross(f_np, tensors=[t32], verbose=False, seed=3, fuse=True,
+                        return_info=True)
+    a64, i64 = tn.cross(f_np, tensors=[t64], verbose=False, seed=3, fuse=True,
+                        return_info=True)
+    assert i32["callback"] and i64["callback"]
+    assert a32.cores[0].dtype == jnp.float32
+    assert a64.cores[0].dtype == jnp.float64
+    gt = np.asarray(t64.numpy()) * 3.0 + 1.0
+    assert np.linalg.norm(np.asarray(a64.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
+
+
+def test_callback_mesh_drops_fiber_sharding():
+    """mesh= with a host-callback function: XLA pins a pure_callback to one
+    maximal device, so sharding the fibers feeding it just forces a
+    replicate-then-repartition per step (round-4 review finding #2). The
+    fused path must run, with the fiber sharding dropped."""
+    from tntorch_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+
+    def f_np(x):
+        return np.asarray(x) ** 2 + 1.0
+
+    t = tn.rand([6, 6, 6], ranks_tt=2, key=jax.random.key(7))
+    a, info = tn.cross(f_np, tensors=[t], verbose=False, seed=4, fuse=True,
+                       mesh=mesh, return_info=True, suppress_warnings=True)
+    assert info["fused"] and info["callback"]
+    gt = np.asarray(t.numpy()) ** 2 + 1.0
+    assert np.linalg.norm(np.asarray(a.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
+
+
 def test_hostlocked_f_pins_eager_run_to_cpu(monkeypatch):
     """On a non-CPU backend without pure_callback support, a host-locked f
     routes the whole eager sweep to the local CPU device (committed cores

@@ -12,9 +12,10 @@ runs cost seconds.
 import os
 import subprocess
 import sys
-import tempfile
 
 import pytest
+
+from tntorch_tpu.utils import shared_cache_env
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _EXAMPLES = sorted(
@@ -27,17 +28,10 @@ def test_example_runs(script):
     env = dict(os.environ)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("TN_DEVICE", "cpu")
-    # Share the suite's persistent compilation cache (conftest.py) so the
+    # Share the suite's persistent compilation cache (conftest.py / one
+    # helper, so the directory cannot drift between the runners) so the
     # examples' programs compile once across runs and workers
-    env.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.environ.get(
-            "TNT_TEST_CACHE",
-            os.path.join(tempfile.gettempdir(), "tnt_test_xla_cache"),
-        ),
-    )
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    shared_cache_env(env)
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "examples", script)],
         env=env,

@@ -345,3 +345,57 @@ def test_compilation_cache_writes_are_atomic(tmp_path):
     # idempotent: same-key put is a no-op, entry stays intact
     cache.put("entry", b"different")
     assert cache.get("entry") == payload
+
+
+def test_compilation_cache_get_verifies_crc(tmp_path):
+    """get() verifies the {key}.crc32 sidecar before handing bytes to the
+    C++ executable deserializer: a corrupted entry reports a MISS (and is
+    deleted so the re-put lands) instead of segfaulting the process; an
+    entry without a sidecar (unpatched jax writer) passes through."""
+    from jax._src import lru_cache as _lru
+
+    from tntorch_tpu.utils import _patch_atomic_cache_writes
+
+    _patch_atomic_cache_writes()
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)
+    payload = b"y" * 4096
+    cache.put("entry", payload)
+    assert (tmp_path / "entry.crc32").exists()
+    assert cache.get("entry") == payload
+
+    # Corrupt the entry in place (same length, flipped bytes): the crc
+    # mismatch must surface as a miss, with both files cleaned up
+    (tmp_path / "entry-cache").write_bytes(b"z" * 4096)
+    assert cache.get("entry") is None
+    assert not (tmp_path / "entry-cache").exists()
+    assert not (tmp_path / "entry.crc32").exists()
+    # ... and the subsequent put repopulates a clean entry
+    cache.put("entry", payload)
+    assert cache.get("entry") == payload
+
+    # Legacy entry written by unpatched jax (no sidecar): passes through
+    (tmp_path / "legacy-cache").write_bytes(b"w" * 128)
+    assert cache.get("legacy") == b"w" * 128
+
+
+def test_compilation_cache_put_sweeps_stale_tmps(tmp_path):
+    """A process killed between tmp-write and replace leaves a {key}.tmp.{pid}
+    dropping; the first put of a later process sweeps droppings older than
+    an hour (fresh ones may belong to a live concurrent writer and stay)."""
+    import os
+
+    from jax._src import lru_cache as _lru
+
+    from tntorch_tpu.utils import _patch_atomic_cache_writes
+
+    _patch_atomic_cache_writes()
+    stale = tmp_path / "dead.tmp.99999"
+    stale.write_bytes(b"torn")
+    os.utime(stale, (1.0, 1.0))  # ancient mtime
+    fresh = tmp_path / "live.tmp.88888"
+    fresh.write_bytes(b"inflight")
+
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)
+    cache.put("entry", b"v" * 64)
+    assert not stale.exists()
+    assert fresh.exists()

@@ -121,6 +121,37 @@ def _grow_schedule(curRs, Is, rmax, kickrank):
     return newRs
 
 
+def _stage_chunk(Rs, Is, S, rng, rmax, kickrank):
+    """Stage one speculative chunk: the per-iteration rank schedule and the
+    random kick rows (as device int32 arrays) for its S iterations. ONE
+    definition shared by the fused cross loop and the batched-minimize loop
+    — the two state machines must stay in lockstep (same `_grow_schedule`
+    recurrence AND the same rng draw order) or their rank schedules and rng
+    streams silently desynchronize. Returns (schedule, extras_chunk)."""
+    N = len(Is)
+    schedule = [Rs]
+    extras_chunk = []
+    if kickrank is not None:
+        cur = Rs
+        for _ in range(S - 1):
+            newRs = _grow_schedule(cur, Is, rmax, kickrank)
+            extra = _draw_extra(rng, Is, newRs)
+            extras_chunk.append(tuple(
+                jnp.asarray(extra[: newRs[n + 1] - cur[n + 1], n:],
+                            dtype=jnp.int32)
+                for n in range(N - 1)
+            ))
+            schedule.append(newRs)
+            cur = newRs
+    else:
+        empty = tuple(
+            jnp.zeros((0, N - n), dtype=jnp.int32) for n in range(N - 1)
+        )
+        extras_chunk = [empty] * (S - 1)
+        schedule = [Rs] * S
+    return schedule, extras_chunk
+
+
 def _draw_extra(rng, Is, newRs):
     """Random kick rows for every interior edge, one rng draw per edge (the
     draw ORDER is part of the schedule contract shared across paths)."""
@@ -270,25 +301,7 @@ def _try_batched_minimize(tensors, function, rmax, max_iter, verbose, kwargs):
     argbest = None
     while i < max_iter and not converged:
         S = min(_CHUNK_DEPTH_FIRST if i == 0 else _CHUNK_DEPTH_NEXT, max_iter - i)
-        schedule = [Rs]
-        extras_chunk = []
-        if kickrank is not None:
-            cur = Rs
-            for _ in range(S - 1):
-                newRs = _grow_schedule(cur, Is, rmax, kickrank)
-                extra = _draw_extra(rng, Is, newRs)
-                extras_chunk.append(tuple(
-                    jnp.asarray(extra[: newRs[n + 1] - cur[n + 1], n:], dtype=jnp.int32)
-                    for n in range(N - 1)
-                ))
-                schedule.append(newRs)
-                cur = newRs
-        else:
-            empty = tuple(
-                jnp.zeros((0, N - n), dtype=jnp.int32) for n in range(N - 1)
-            )
-            extras_chunk = [empty] * (S - 1)
-            schedule = [Rs] * S
+        schedule, extras_chunk = _stage_chunk(Rs, Is, S, rng, rmax, kickrank)
         rcols_b = tuple(
             jnp.asarray(rsets_b[n][:, :, : N - 1 - n], dtype=jnp.int32)
             for n in range(N - 1)
@@ -1010,6 +1023,15 @@ def cross(
         (streaming host callbacks inside the one program) when a probe call
         succeeds, else the eager path runs. True forces fusion (e.g. on
         CPU), False disables it.
+
+        Host-function caveats: deciding fusability calls `function` TWICE
+        on the grid point at index (0, ..., 0) (these probe evaluations are
+        not counted in info["nsamples"]); a host function with observable
+        side effects, or one that raises on that point (e.g. a domain
+        guard), should pass fuse=False — a probe failure silently selects
+        the eager path (info["fused"] is False). With mesh=, host-callback
+        functions run on one host device (info["callback"] True, fiber
+        sharding dropped); only jnp-traceable functions evaluate SPMD.
     """
     rng = np.random.default_rng(seed)
 
@@ -1190,7 +1212,21 @@ def cross(
 
     if fused:
         tcores = tuple(tuple(t.cores) for t in tensors)
-        if _fiber_sharding is not None:
+        _fused_sharding = _fiber_sharding
+        if _callback and _fused_sharding is not None:
+            # A pure_callback is pinned by XLA to one maximal device:
+            # sharding the fibers feeding it buys no parallel f-evals and
+            # forces a replicate-then-repartition of every fiber array per
+            # step. Run the callback chunk replicated instead.
+            _fused_sharding = None
+            if not suppress_warnings:
+                logger.warning(
+                    "cross(mesh=...) with a host-callback function: the "
+                    "fiber evaluations run on one host device (callbacks "
+                    "cannot be sharded); dropping the fiber sharding for "
+                    "the fused path."
+                )
+        if _fused_sharding is not None:
             # Replicate the inputs over the mesh so the chunk program runs
             # SPMD; the fiber constraints inside spread f's work over devices
             _repl = NamedSharding(mesh, PartitionSpec())
@@ -1198,11 +1234,16 @@ def cross(
                 tuple(jax.device_put(c, _repl) for c in cs) for cs in tcores
             )
             Xs_val_mat = jax.device_put(Xs_val_mat, _repl)
+        # The tensor dtype is part of the key: the callback wrapper bakes
+        # its host-side output dtype at wrap time, so a cached chunk traced
+        # for f32 tensors must not be reused when the same user function is
+        # crossed again with f64 tensors (jit would otherwise feed the old
+        # float32-casting callback into a program declaring float64 outputs).
         _fused_chunk_jit = _get_fused_chunk(
             f,
             cache_key=(id(function), function_arg, bool(detach_evaluations),
-                       _callback),
-            fiber_sharding=_fiber_sharding,
+                       _callback, str(np.dtype(dtype))),
+            fiber_sharding=_fused_sharding,
         )
 
         def _host_rcols():
@@ -1334,27 +1375,7 @@ def cross(
             # iteration. First chunk is 4 deep (eps runs typically take >=4
             # sweeps, so nothing is wasted), later chunks 2.
             S = min(_CHUNK_DEPTH_FIRST if i == 0 else _CHUNK_DEPTH_NEXT, max_iter - i)
-            schedule = [Rs]
-            extras_chunk = []
-            if kickrank is not None:
-                cur = Rs
-                for _ in range(S - 1):
-                    newRs = _grow_schedule_local(cur)
-                    extra = _draw_extra_local(newRs)
-                    extras_chunk.append(tuple(
-                        jnp.asarray(
-                            extra[: newRs[n + 1] - cur[n + 1], n:], dtype=jnp.int32
-                        )
-                        for n in range(N - 1)
-                    ))
-                    schedule.append(newRs)
-                    cur = newRs
-            else:
-                empty = tuple(
-                    jnp.zeros((0, N - n), dtype=jnp.int32) for n in range(N - 1)
-                )
-                extras_chunk = [empty] * (S - 1)
-                schedule = [Rs] * S
+            schedule, extras_chunk = _stage_chunk(Rs, Is, S, rng, rmax, kickrank)
             it_start = time.time()
             args = (tcores, rcols_dev, rints_dev, tuple(extras_chunk), Xs_val_mat,
                     mz_state, ys_dev)

@@ -139,23 +139,66 @@ def enable_compilation_cache(path=None):
     _patch_atomic_cache_writes()
 
 
+def shared_cache_env(env=None):
+    """setdefault the persistent-compilation-cache env entries for a CHILD
+    process so it warm-starts from the same cache as the test suite.
+
+    tests/conftest.py configures the cache in-process via ``jax.config``,
+    which subprocesses do not inherit; the hermetic multichip dryrun
+    (``__graft_entry__._dryrun_subprocess``) and the examples runner
+    (``tests/test_examples.py``) must agree with it on the directory and
+    admission thresholds or their ~40 programs recompile on every run
+    (~5 min each, the slowest tests in the suite). One helper so the values
+    cannot drift apart. Returns the mutated dict (a copy of ``os.environ``
+    when ``env`` is None)."""
+    import os
+    import tempfile
+
+    env = dict(os.environ) if env is None else env
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.environ.get(
+            "TNT_TEST_CACHE",
+            os.path.join(tempfile.gettempdir(), "tnt_test_xla_cache"),
+        ),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    return env
+
+
 def _patch_atomic_cache_writes():
-    """Make jax's on-disk compilation-cache writes atomic (tmp + os.replace).
+    """Harden jax's on-disk compilation cache: atomic writes + checksummed
+    reads + stale-tmp cleanup.
 
     jax 0.9's ``lru_cache.LRUCache.put`` ends in a plain
     ``cache_path.write_bytes(val)``: a process killed mid-write (CI teardown,
     OOM, ctrl-C) or two processes writing the same key concurrently (xdist
     workers, example subprocesses sharing the suite cache) can leave a
-    truncated/interleaved entry. Such an entry may still zstd-decompress,
-    and ``backend.deserialize_executable`` on the mangled bytes SEGFAULTS
-    the next process that warm-starts from the cache (observed twice on this
-    repo's suite after a harness-killed run; stack ends in
-    ``compilation_cache.get_executable_and_time``). Writing to a tmp file in
-    the same directory and ``os.replace``-ing guarantees readers only ever
-    see complete entries. Applied at import so subprocesses that enable the
-    cache via ``JAX_COMPILATION_CACHE_DIR`` env (never calling
+    truncated/interleaved entry. Such an entry may still zstd-decompress
+    (frame-aligned truncation), and ``backend.deserialize_executable`` on the
+    mangled bytes SEGFAULTS the next process that warm-starts from the cache
+    (observed on this repo's suite after harness-killed runs; stack ends in
+    ``compilation_cache.get_executable_and_time``). Three defenses:
+
+    - ``put`` writes to a tmp file in the same directory and ``os.replace``s
+      it (atomic on POSIX): readers only ever see complete entries.
+    - ``put`` also records a ``{key}.crc32`` sidecar (length + crc32), and
+      ``get`` verifies it before handing bytes to the C++ deserializer; a
+      mismatch deletes the entry + sidecar and reports a miss, so the caller
+      recompiles and re-puts instead of segfaulting. Entries without a
+      sidecar (written by unpatched jax) pass through unverified — the
+      format on disk stays plain jax format, readable by any process.
+    - the first ``put`` per cache instance sweeps ``*.tmp.*`` droppings
+      older than one hour (a process killed between write and replace
+      leaves its tmp file behind forever otherwise).
+
+    Applied at import so subprocesses that enable the cache via
+    ``JAX_COMPILATION_CACHE_DIR`` env (never calling
     ``enable_compilation_cache``) are protected too."""
     import os
+    import time
+    import zlib
 
     try:
         from jax._src import lru_cache as _lru
@@ -164,6 +207,25 @@ def _patch_atomic_cache_writes():
     if getattr(_lru.LRUCache.put, "_tnt_atomic", False):
         return
     _orig_put = _lru.LRUCache.put
+    _orig_get = _lru.LRUCache.get
+
+    def _sig(val: bytes) -> bytes:
+        return f"{len(val)}:{zlib.crc32(val):08x}".encode()
+
+    def _sweep_stale_tmps(self):
+        try:
+            now = time.time()
+            for p in self.path.glob("*.tmp.*"):
+                # self.path is etils epath when installed: its stat() result
+                # spells mtime without the POSIX st_ prefix
+                st = p.stat()
+                mtime = getattr(st, "st_mtime", None)
+                if mtime is None:
+                    mtime = getattr(st, "mtime", now)
+                if now - mtime > 3600.0:
+                    os.unlink(str(p))
+        except (AttributeError, OSError):
+            pass
 
     def put(self, key, val):
         if not key or getattr(self, "eviction_enabled", False):
@@ -171,6 +233,9 @@ def _patch_atomic_cache_writes():
             # jax's own logic there (eviction is off unless the user sets
             # JAX_COMPILATION_CACHE_MAX_SIZE; this repo never does)
             return _orig_put(self, key, val)
+        if not getattr(self, "_tnt_swept", False):
+            self._tnt_swept = True
+            _sweep_stale_tmps(self)
         try:
             cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
             if cache_path.exists():
@@ -178,11 +243,35 @@ def _patch_atomic_cache_writes():
             tmp_path = self.path / f"{key}.tmp.{os.getpid()}"
             tmp_path.write_bytes(val)
             os.replace(tmp_path, cache_path)  # same dir: atomic on POSIX
+            crc_tmp = self.path / f"{key}.crc32.tmp.{os.getpid()}"
+            crc_tmp.write_bytes(_sig(val))
+            os.replace(crc_tmp, self.path / f"{key}.crc32")
         except (AttributeError, OSError):
             return _orig_put(self, key, val)
 
+    def get(self, key):
+        val = _orig_get(self, key)
+        if val is None or not key or getattr(self, "eviction_enabled", False):
+            return val
+        try:
+            crc_path = self.path / f"{key}.crc32"
+            if not crc_path.exists():
+                return val  # legacy/unpatched-writer entry: pass through
+            if crc_path.read_bytes() == _sig(val):
+                return val
+            # Corrupt (or torn by an unpatched writer racing the sidecar):
+            # drop both files and report a miss — the caller recompiles and
+            # re-puts a clean entry instead of segfaulting on deserialize.
+            (self.path / f"{key}{_lru._CACHE_SUFFIX}").unlink(missing_ok=True)
+            crc_path.unlink(missing_ok=True)
+            return None
+        except (AttributeError, OSError):
+            return val
+
     put._tnt_atomic = True
+    get._tnt_atomic = True
     _lru.LRUCache.put = put
+    _lru.LRUCache.get = get
 
 
 _patch_atomic_cache_writes()
