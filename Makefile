@@ -15,11 +15,21 @@ test:
 test-serial:
 	python -m pytest tests/ -q
 
+# Quick inner-loop tier (VERDICT r4 next #10): skips the subprocess example
+# runs, the fuzz loops, and the full reference-parity sweeps — those only
+# need to run before a merge/bench, not on every edit. ~2 min warm.
+test-quick:
+	python -m pytest tests/ -q -x \
+	  --ignore=tests/test_examples.py \
+	  --ignore=tests/test_fuzz.py \
+	  --ignore=tests/test_reference_parity.py \
+	  --ignore=tests/test_tpu_live.py
+
 bench:
 	python bench.py
 
 test-tpu:
-	TNT_TPU_TESTS=1 python -m pytest tests/test_tpu_live.py -q
+	TNT_TPU_TESTS=1 python -m pytest tests/test_tpu_live.py -q -s
 
 test-examples:
 	python -m pytest tests/test_examples.py -q -n 4
@@ -27,4 +37,4 @@ test-examples:
 clean:
 	rm -f $(NATIVE)
 
-.PHONY: all test bench test-tpu test-examples clean
+.PHONY: all test test-serial test-quick bench test-tpu test-examples clean

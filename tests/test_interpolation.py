@@ -243,3 +243,62 @@ def test_sparse_tt_svd_f32_noise_floor(monkeypatch):
         assert max(t2.ranks_tt) <= 3, t2.ranks_tt
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_tensor_y_inputs():
+    # VERDICT r4 next #7: the natural pairing sparse_tt_svd(X, t[X]) hands
+    # the sampled values over as a 1-D Tensor; every array-ingesting entry
+    # point must coerce it (utils.to_numpy/asarray densify via .numpy())
+    gt = tn.rand((8, 8, 8), ranks_tt=3, key=jax.random.key(5))
+    X = np.random.default_rng(3).integers(0, 8, (60, 3))
+    yT = gt[X]
+    assert isinstance(yT, tn.Tensor)
+    t = tn.sparse_tt_svd(X, yT, eps=1e-8, shape=[8, 8, 8], rmax=3)
+    y_np = np.asarray(gt.numpy())[X[:, 0], X[:, 1], X[:, 2]]
+    t2 = tn.sparse_tt_svd(X, y_np, eps=1e-8, shape=[8, 8, 8], rmax=3)
+    assert tn.relative_error(t2, t) < 1e-10
+    c = tn.als_completion(X, yT, ranks_tt=2, shape=[8, 8, 8], verbose=False)
+    assert c.shape == (8, 8, 8)
+
+
+def test_tensor_y_densify_guard():
+    # A huge compressed Tensor must be refused with a typed error, not
+    # silently materialized
+    import pytest
+
+    from tntorch_tpu.utils import to_numpy
+
+    big = tn.rand((512, 512, 512, 512), ranks_tt=2, key=jax.random.key(1))
+    with pytest.raises(TypeError, match="Refusing to densify"):
+        to_numpy(big)
+
+
+def test_sketch_widening_jumps_to_cap(monkeypatch):
+    """VERDICT r4 next #8: on genuinely not-low-rank data with tight eps,
+    the sketch-widening loop must NOT escalate by blind doubling (a full
+    recompute per width); the flat-spectrum extrapolation jumps straight to
+    the cap, so any sketched mode costs at most 2 kernel calls."""
+    import tntorch_tpu.interpolation as interp
+
+    calls = []
+    orig = interp._sketch_range_kernel
+
+    def counting(rows, cols, ys, nrows, ncols, k, key):
+        calls.append(int(k))
+        return orig(rows, cols, ys, nrows, ncols, k, key)
+
+    monkeypatch.setattr(interp, "_sketch_range_kernel", counting)
+    monkeypatch.setattr(interp, "_SPARSE_DENSE_ROWS_MAX", 8)
+
+    rng = np.random.default_rng(0)
+    I = 1600  # dim 1600 > 2*512: the old doubling path took 3 rounds here
+    P = 40000
+    X = np.unique(rng.integers(0, I, (P, 2)), axis=0)
+    y = rng.standard_normal(len(X))  # full-rank noise: eps unreachable
+    with np.errstate(all="ignore"):
+        t = tn.sparse_tt_svd(X, y, eps=1e-12, shape=[I, I])
+    assert len(calls) <= 2, calls  # first sketch + one jump, no doubling walk
+    if len(calls) == 2:
+        # the jump lands on the cap (min(dim, _SPARSE_SKETCH_MAX))
+        assert calls[1] == min(I, interp._SPARSE_SKETCH_MAX), calls
+    assert t.shape == (I, I)

@@ -351,3 +351,79 @@ def test_sharded_rounding_wrappers_cached():
     round_tt_gram_sharded(cs, 2, mesh)
     round_tt_gram_sharded(cs, 2, mesh)
     assert _gram_round_sharded_jit.cache_info().hits > before
+
+
+def _collective_ops(hlo_text):
+    """Parse HLO text for collective op definitions: returns a list of
+    (op_kind, [element_counts per output component])."""
+    import re
+
+    out = []
+    for line in hlo_text.splitlines():
+        m = re.search(
+            r"=\s*(.*?)\s+(all-reduce|all-gather|reduce-scatter|all-to-all|"
+            r"collective-permute)(-start)?\(", line)
+        if not m:
+            continue
+        shapes = re.findall(r"\[([0-9,]*)\]", m.group(1))
+        counts = []
+        for s in shapes:
+            dims = [int(d) for d in s.split(",") if d != ""]
+            counts.append(int(np.prod(dims)) if dims else 1)
+        out.append((m.group(2), counts))
+    return out
+
+
+def test_round_sharded_collective_invariant():
+    """VERDICT r4 next #6: the communication claim for mode-sharded Gram
+    rounding (2(N-1) all-reduces, every one an R x R matrix) is asserted at
+    the HLO level — a code change that introduces extra or fatter
+    collectives (e.g. an all-gather of a core) fails here."""
+    from tntorch_tpu.parallel.algorithms import _gram_round_sharded_jit
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    N, I, R, rmax = 4, 16, 8, 4
+    cores = tuple(
+        jnp.ones((1 if n == 0 else R, I, 1 if n == N - 1 else R))
+        for n in range(N)
+    )
+    run = _gram_round_sharded_jit(mesh, "tp", rmax, "eigh", N)
+    hlo = run.lower(cores).compile().as_text()
+    ops = _collective_ops(hlo)
+    assert ops, "expected collectives in the sharded rounding program"
+    # Only all-reduces (psums of Gram matrices); nothing else ever
+    kinds = {k for k, _ in ops}
+    assert kinds <= {"all-reduce"}, kinds
+    # At most one psum per Gram edge per chain = 2(N-1) (XLA's combiner may
+    # merge some into tuple all-reduces — fewer is fine, more is a bug)
+    assert len(ops) <= 2 * (N - 1), ops
+    # Every all-reduced component is at most R x R — a fatter operand means
+    # a collective moved off the rank edges onto mode data
+    for kind, counts in ops:
+        for c in counts:
+            assert c <= R * R, (kind, counts)
+
+
+def test_sharded_dot_collective_invariant():
+    """sharded_dot on rank-sharded operands: XLA may all-gather the small
+    cores or psum the rank partials, but no collective may move more than
+    one core's worth of data, and the count stays O(N)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    N, I, R = 4, 16, 8
+    t1 = tn.rand((I,) * N, ranks_tt=R, key=jax.random.key(0))
+    t2 = tn.rand((I,) * N, ranks_tt=R, key=jax.random.key(1))
+    s1 = shard_ranks(t1, mesh)
+    s2 = shard_ranks(t2, mesh)
+    from tntorch_tpu.parallel.mesh import _dot_jit
+
+    hlo = _dot_jit.lower(s1, s2).compile().as_text()
+    ops = _collective_ops(hlo)
+    core_elems = R * I * R
+    assert len(ops) <= 2 * N, ops
+    for kind, counts in ops:
+        for c in counts:
+            assert c <= core_elems, (kind, counts)

@@ -1,0 +1,352 @@
+"""Host (NumPy) cross-approximation sweep.
+
+Used by :func:`tntorch_tpu.cross.cross` when the user function is host-locked
+(a NumPy/Python callable that cannot be traced) AND the backend cannot embed
+host callbacks in jitted programs (tunneled PJRT plugins raise UNIMPLEMENTED
+for ``jax.pure_callback``). In that regime the alternatives are bad:
+
+- the fused device path cannot run (f cannot be traced or called back);
+- the eager device path ships every fiber batch to the host for f and every
+  evaluation back, per step, through the device tunnel;
+- the old "host-pin" fallback (cores committed to the local CPU JAX device)
+  keeps the data next to f but pays JAX's per-op dispatch overhead on every
+  one of the dozens of small ops per step — measured ~2x slower than the
+  identical sweep written against raw NumPy/BLAS.
+
+This module runs the whole sweep in NumPy/BLAS/native-C++ on the host:
+
+- fiber evaluation is a NumPy einsum over the interface chains (for
+  meshgrid/domain inputs the interfaces are rank-1, so this is a cheap
+  broadcasting product — no (P, N) coordinate matrix is materialized);
+- orthogonalization is a Gram-eigh basis (one syrk + small eigh + one GEMM;
+  ~4x faster than LAPACK Householder QR here and robust to the rank
+  deficiency smooth functions produce — see _gram_orth_q);
+- pivoting is the hybrid native maxvol (BLAS init + the C++ fused swap loop,
+  csrc/maxvol.cpp); its coefficient matrix C = Q @ inv(Q[rows]) IS the
+  interpolation core (invariant under the right factor: A = QR gives
+  A @ inv(A[rows]) = Q @ inv(Q[rows])), so no separate solve is needed.
+
+Semantics (rank schedule, rng stream, validation eps, info dict, error
+messages) mirror the eager path in cross.py; behavioral reference
+/root/reference/tntorch/cross.py:138-529.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import scipy.linalg
+
+from tntorch_tpu.maxvol import maxvol as _host_maxvol
+
+
+def _np_fibers(lint, core, rint):
+    """(Rl x I x Rr) fiber values of one TT/CP core, flattened."""
+    if core.ndim == 3:
+        V = np.einsum("ai,ibj,jc->abc", lint, core, rint, optimize=True)
+    else:  # CP factor
+        V = np.einsum("ai,bi,ic->abc", lint, core, rint, optimize=True)
+    return V.reshape(-1)
+
+
+def _np_rchain(cores_tail, idx):
+    """Right interface chain: contract cores j+1..N-1 at the index rows."""
+    P = idx.shape[0]
+    M = np.ones((cores_tail[-1].shape[-1], P), dtype=cores_tail[-1].dtype)
+    for n in range(len(cores_tail) - 1, -1, -1):
+        c = cores_tail[n]
+        if c.ndim == 3:
+            M = np.einsum("iaj,ja->ia", c[:, idx[:, n], :], M)
+        else:
+            M = np.einsum("ai,ia->ia", c[idx[:, n], :], M)
+    return M
+
+
+def _np_init_interfaces(tensors_np, rsets, N):
+    """Left/right interface chains for each input tensor (host mirror of
+    cross.init_interfaces)."""
+    t_lint, t_rint = [], []
+    for cores in tensors_np:
+        dtype = cores[0].dtype
+        r0 = cores[0].shape[0] if cores[0].ndim == 3 else cores[0].shape[1]
+        rN = cores[-1].shape[-1]
+        lint = [np.ones((1, r0), dtype=dtype)] + [None] * (N - 1)
+        rint = [None] * (N - 1) + [np.ones((rN, 1), dtype=dtype)]
+        for j in range(N - 1):
+            rint[j] = _np_rchain(
+                cores[j + 1:], np.asarray(rsets[j])[:, : N - 1 - j]
+            )
+        t_lint.append(lint)
+        t_rint.append(rint)
+    return t_lint, t_rint
+
+
+def _np_eval_points(tensors_np, X):
+    """Evaluate each input tensor at integer points X (P x N) — host mirror
+    of cross._eval_points_body."""
+    outs = []
+    for cores in tensors_np:
+        P = X.shape[0]
+        r0 = cores[0].shape[0] if cores[0].ndim == 3 else 1
+        v = np.ones((P, r0), dtype=cores[0].dtype)
+        for n, c in enumerate(cores):
+            if c.ndim == 3:
+                v = np.einsum("br,rbs->bs", v, c[:, X[:, n], :], optimize=True)
+            else:
+                v = v * c[X[:, n], :]
+        outs.append(v.sum(axis=1) if cores[-1].ndim == 2 else v[:, 0])
+    return outs
+
+
+def _np_tt_forward(cores, X):
+    """TT evaluation at integer points X (P x N)."""
+    P = X.shape[0]
+    v = np.ones((P, cores[0].shape[0]), dtype=cores[0].dtype)
+    for n, c in enumerate(cores):
+        v = np.einsum("br,rbs->bs", v, c[:, X[:, n], :], optimize=True)
+    return v[:, 0]
+
+
+def download_cores(tensors):
+    """Host copies of every input tensor's cores, as ONE device transfer.
+
+    Per-array np.asarray costs a full tunnel round trip each (~40 ms
+    through the axon TPU tunnel — ~1 s for 5 meshgrid tensors x 5 cores);
+    concatenating the flattened cores on device and fetching once pays a
+    single round trip. Arrays already on host (NumPy / CPU-backed jax)
+    convert directly."""
+    import jax
+    import jax.numpy as jnp
+
+    allc = [c for t in tensors for c in t.cores]
+    on_device = [
+        isinstance(c, jax.Array)
+        and next(iter(c.devices())).platform != "cpu"
+        for c in allc
+    ]
+    host = {}
+    dev_idx = [i for i, d in enumerate(on_device) if d]
+    if len(dev_idx) > 1 and len({allc[i].dtype for i in dev_idx}) == 1:
+        flat = np.asarray(
+            jnp.concatenate([allc[i].reshape(-1) for i in dev_idx])
+        )
+        off = 0
+        for i in dev_idx:
+            sz = int(np.prod(allc[i].shape))
+            host[i] = flat[off:off + sz].reshape(allc[i].shape)
+            off += sz
+    out, k = [], 0
+    for t in tensors:
+        cs = []
+        for c in t.cores:
+            cs.append(host[k] if k in host else np.asarray(c))
+            k += 1
+        out.append(cs)
+    return out
+
+
+def _gram_orth_q(V):
+    """Well-conditioned column basis of tall V spanning range(V), via the
+    Gram eigendecomposition: Q = V @ (U / sqrt(clip(lam))), columns then
+    normalized. All GEMM/small-eigh shaped (one syrk + one k x k eigh + one
+    GEMM — ~4x faster here than LAPACK Householder QR) and, unlike
+    CholeskyQR, never fails on rank-deficient input: deficient directions
+    come out as normalized roundoff noise, the same "arbitrary but usable"
+    completion Householder QR gives them.
+
+    Any basis of the form Q = V @ W (W invertible) leaves the maxvol
+    interpolation core EXACT: Q @ inv(Q[rows]) = V @ inv(V[rows]) (the
+    right factor cancels), so the orthogonalization choice only affects
+    pivot-selection conditioning, never the interpolation identity."""
+    G = V.T @ V
+    try:
+        lam, U = scipy.linalg.eigh(G, check_finite=False)
+    except scipy.linalg.LinAlgError:
+        return scipy.linalg.qr(V, mode="economic", check_finite=False)[0]
+    lmax = float(lam[-1]) if lam[-1] > 0 else 1.0
+    tiny = np.finfo(V.dtype).tiny
+    s = 1.0 / np.sqrt(np.maximum(lam, lmax * 1e-14) + tiny)
+    Q = V @ (U * s).astype(V.dtype)
+    cn = np.sqrt(np.einsum("ij,ij->j", Q, Q))
+    Q /= np.maximum(cn, np.finfo(V.dtype).eps).astype(V.dtype)
+    return Q
+
+
+def _orth_and_pivot(M):
+    """Orthonormalize tall M and select quasi-maxvol rows.
+
+    Returns (lj, core) where core = Q @ inv(Q[lj]) — which equals
+    M @ inv(M[lj]) (the interpolation core; right-factor invariant)."""
+    m, k = M.shape
+    if m <= k:
+        return np.arange(m, dtype=np.int64), np.eye(m, dtype=M.dtype)
+    Q = _gram_orth_q(M)
+    lj, C = _host_maxvol(Q, 1.05, 100)
+    return lj, C
+
+
+def host_sweep(
+    f,
+    tensors_np,
+    Is,
+    Rs,
+    lsets,
+    rsets,
+    Xs_val_mat,
+    kickrank,
+    rmax,
+    eps,
+    max_iter,
+    verbose,
+    record_samples,
+    info,
+    function,
+    grow_schedule,
+    draw_extra,
+    start,
+):
+    """Run the full cross sweep on the host. Mutates ``info`` (nsamples,
+    eval_time, val_epss, sample_* when recording) and returns
+    (cores, lsets, rsets, left_locals, Rs, val_eps, converged).
+
+    Parameters mirror the eager loop's locals in cross.cross();
+    ``grow_schedule``/``draw_extra`` are the shared rank-growth callables so
+    the rng stream and rank schedule stay in lockstep with the other paths.
+    """
+    N = len(Is)
+    dtype = tensors_np[0][0].dtype
+    lsets = [np.asarray(l) for l in lsets[:1]] + [None] * (N - 1)
+    rsets = [np.asarray(r) for r in rsets]
+
+    X_val = np.asarray(Xs_val_mat)
+    t0 = time.time()
+    ys_val = np.asarray(f(*_np_eval_points(tensors_np, X_val)))
+    info["eval_time"] += time.time() - t0
+    if ys_val.ndim == 2:
+        assert ys_val.shape[1] == 1
+        ys_val = ys_val[:, 0]
+    norm_ys_val = float(np.linalg.norm(ys_val))
+
+    t_lint, t_rint = _np_init_interfaces(tensors_np, rsets, N)
+    cores = [None] * N
+    left_locals = []
+    _rec = []
+
+    def evaluate(j):
+        Xs = [
+            _np_fibers(t_lint[k][j], cores_k[j], t_rint[k][j])
+            for k, cores_k in enumerate(tensors_np)
+        ]
+        t0 = time.time()
+        ev = np.asarray(f(*Xs))
+        info["eval_time"] += time.time() - t0
+        if ev.ndim == 2:
+            ev = ev[:, 0]
+        bad = ~np.isfinite(ev)
+        if bad.any():
+            invalid = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                "Invalid return value for function {}: f({}) = {}".format(
+                    function,
+                    ", ".join("{:g}".format(float(x[invalid])) for x in Xs),
+                    float(ev[invalid]),
+                )
+            )
+        if record_samples:
+            _rec.append((Xs, ev))
+        info["nsamples"] += ev.size
+        return np.ascontiguousarray(ev.astype(dtype, copy=False))
+
+    val_eps = np.inf
+    converged = False
+    for i in range(max_iter):
+        if verbose:
+            print("iter: {: <{}}".format(i, len("{}".format(max_iter)) + 1), end="")
+            sys.stdout.flush()
+        left_locals = []
+
+        # Left-to-right
+        for j in range(N - 1):
+            ev = evaluate(j)
+            lj, core = _orth_and_pivot(ev.reshape(-1, Rs[j + 1]))
+            cores[j] = core.reshape(Rs[j], Is[j], Rs[j + 1])
+            left_locals.append(lj)
+            lr, li = lj // Is[j], lj % Is[j]
+            lsets[j + 1] = np.concatenate(
+                [lsets[j][lr], li[:, None].astype(lsets[j].dtype)], axis=1
+            )
+            for k, cores_k in enumerate(tensors_np):
+                c = cores_k[j]
+                if c.ndim == 3:
+                    t_lint[k][j + 1] = np.einsum(
+                        "ai,iaj->aj", t_lint[k][j][lr, :], c[:, li, :], optimize=True
+                    )
+                else:
+                    t_lint[k][j + 1] = t_lint[k][j][lr, :] * c[li, :]
+
+        # Right-to-left
+        for j in range(N - 1, 0, -1):
+            ev = evaluate(j)
+            lj, core = _orth_and_pivot(
+                np.ascontiguousarray(ev.reshape(Rs[j], -1).T)
+            )
+            cores[j] = core.T.reshape(Rs[j], Is[j], Rs[j + 1])
+            li, lr = lj // Rs[j + 1], lj % Rs[j + 1]
+            rsets[j - 1] = np.concatenate(
+                [li[:, None].astype(rsets[j].dtype), rsets[j][lr]], axis=1
+            )
+            for k, cores_k in enumerate(tensors_np):
+                c = cores_k[j]
+                if c.ndim == 3:
+                    t_rint[k][j - 1] = np.einsum(
+                        "iaj,ja->ia", c[:, li, :], t_rint[k][j][:, lr], optimize=True
+                    )
+                else:
+                    t_rint[k][j - 1] = c[li, :].T * t_rint[k][j][:, lr]
+
+        # Leave the first core ready
+        cores[0] = evaluate(0).reshape(Rs[0], Is[0], Rs[1])
+
+        pred = _np_tt_forward(cores, X_val)
+        val_eps = float(np.linalg.norm(ys_val - pred) / norm_ys_val)
+        info["val_epss"].append(val_eps)
+        if val_eps < eps:
+            converged = True
+        if verbose:
+            print("| eps: {:.3e}".format(val_eps), end="")
+            print(
+                " | time: {:8.4f} | largest rank: {:3d}".format(
+                    time.time() - start, int(max(Rs))
+                ),
+                end="",
+            )
+            if converged:
+                print(" <- converged: eps < {}".format(eps))
+            elif i == max_iter - 1:
+                print(" <- max_iter was reached: {}".format(max_iter))
+            else:
+                print()
+        if converged:
+            break
+        elif i < max_iter - 1 and kickrank is not None:  # grow ranks
+            newRs = grow_schedule(Rs)
+            extra = draw_extra(newRs)
+            for n in range(N - 1):
+                if newRs[n + 1] > Rs[n + 1]:
+                    rsets[n] = np.vstack(
+                        [rsets[n], extra[: newRs[n + 1] - Rs[n + 1], n:]]
+                    )
+            Rs = newRs
+            t_lint, t_rint = _np_init_interfaces(tensors_np, rsets, N)
+
+    if record_samples and _rec:
+        info["sample_positions"] = np.concatenate(
+            [np.stack(Xs_s, axis=1) for Xs_s, _ in _rec], axis=0
+        )
+        info["sample_values"] = np.concatenate(
+            [np.asarray(ev).reshape(-1) for _, ev in _rec]
+        )
+
+    return cores, lsets, rsets, left_locals, Rs, val_eps, converged

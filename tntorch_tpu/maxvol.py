@@ -52,15 +52,33 @@ def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1):
         return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
     top = N if top_k_index == -1 or top_k_index > N else max(top_k_index, r)
 
-    if A.dtype.kind == "f" and top == N:
-        from tntorch_tpu._native import native_maxvol
-
-        out = native_maxvol(A, tol, max_iters)
-        if out is not None:
-            return out
-
     index = _initial_pivots(A, top)
     rows = index[:r]
+
+    if A.dtype.kind == "f" and top == N:
+        # Hybrid fast path: BLAS computes the initial coefficients as one
+        # row-major GEMM (C = A @ inv(A[rows]) — inv of the r x r pivot
+        # block is negligible and the GEMM lands C-contiguous, skipping the
+        # 2nr-word transpose copy a solve-based layout would need); the
+        # inherently sequential swap loop (argmax + rank-1 update, fused in
+        # one pass per iteration) runs in the native kernel
+        # (csrc/maxvol.cpp). ~10x the pure-NumPy loop below.
+        import warnings as _warnings
+
+        from tntorch_tpu._native import native_maxvol_iterate
+
+        with _warnings.catch_warnings():
+            # The LU-init pivot block is routinely near-singular at working
+            # precision when A has numerically deficient columns (smooth-
+            # function fibers); the swap iterations below are exactly the
+            # mechanism that repairs the pivot conditioning, so scipy's
+            # ill-conditioning warning here is noise.
+            _warnings.simplefilter("ignore", scipy.linalg.LinAlgWarning)
+            C = A @ scipy.linalg.inv(A[rows], check_finite=False)
+        rows = np.ascontiguousarray(rows, dtype=np.int64)
+        if native_maxvol_iterate(C, rows, tol, max_iters):
+            return rows, C
+
     # Coefficients C = A @ inv(A[rows]): solve A[rows]^T X^T = A^T
     C = scipy.linalg.solve(A[rows].T, A.T, check_finite=False).T
 

@@ -314,18 +314,36 @@ def _torch_to_numpy(x) -> np.ndarray:
 
 
 def asarray(x: Any, dtype: Optional[Any] = None) -> jax.Array:
-    """Convert NumPy / PyTorch / JAX / scalar input to a jnp array."""
+    """Convert NumPy / PyTorch / JAX / compressed-Tensor / scalar input to
+    a jnp array (tn.Tensor densifies via to_numpy — same size guard)."""
     mod = type(x).__module__
     if mod.startswith("torch"):
         x = _torch_to_numpy(x)
+    elif hasattr(x, "cores") and hasattr(x, "numpy"):
+        x = to_numpy(x)
     return jnp.asarray(x, dtype=dtype)
 
 
 def to_numpy(x: Any) -> np.ndarray:
-    """Convert torch/jax/NumPy input to a NumPy array."""
+    """Convert torch/jax/NumPy/compressed-Tensor input to a NumPy array.
+
+    A ``tn.Tensor`` decompresses via ``.numpy()`` — the natural pairing
+    ``tn.sparse_tt_svd(X, t[X])`` hands the sampled values over as a small
+    1-D Tensor, and ``np.asarray`` on it raises an opaque "setting an array
+    element with a sequence". Large compressed tensors (> 5e7 entries) are
+    refused with a typed error instead of silently materializing gigabytes."""
     mod = type(x).__module__
     if mod.startswith("torch"):
         return _torch_to_numpy(x)
+    if hasattr(x, "cores") and hasattr(x, "numpy"):  # tn.Tensor
+        n = float(x.numel())
+        if n > 5e7:
+            raise TypeError(
+                "Refusing to densify a compressed Tensor with {:g} entries "
+                "into a NumPy array; pass raw sample values (e.g. "
+                "t[X].numpy() on a small index set) instead".format(n)
+            )
+        return np.asarray(x.numpy())
     return np.asarray(x)
 
 
