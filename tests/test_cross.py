@@ -355,12 +355,12 @@ def test_callback_mesh_drops_fiber_sharding():
     assert np.linalg.norm(np.asarray(a.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
 
 
-def test_hostlocked_f_pins_eager_run_to_cpu(monkeypatch):
+def test_hostlocked_f_routes_to_host_sweep(monkeypatch):
     """On a non-CPU backend without pure_callback support, a host-locked f
-    routes the whole eager sweep to the local CPU device (committed cores
-    keep every op on host — no per-step device round trips), and the final
-    cores come back uncommitted for the default device. Simulated on the
-    CPU suite by mocking the backend name and the callback probe."""
+    routes the whole sweep to the NATIVE NumPy host sweep (cross_host.py) —
+    no per-step device round trips, no per-op JAX dispatch overhead.
+    Simulated on the CPU suite by mocking the backend name and the callback
+    probe."""
     import sys
 
     cross_mod = sys.modules["tntorch_tpu.cross"]
@@ -376,9 +376,29 @@ def test_hostlocked_f_pins_eager_run_to_cpu(monkeypatch):
                        eps=1e-8, verbose=False, seed=0, fuse=True,
                        return_info=True)
     assert not info["fused"] and not info["callback"]
-    assert info["host_pinned"]
+    assert info["host_sweep"] and not info["host_pinned"]
     gt = 1.0 / sum(np.meshgrid(*dom, indexing="ij"))
     assert np.linalg.norm(np.asarray(h.numpy()) - gt) / np.linalg.norm(gt) <= 1e-6
+
+
+def test_hostlocked_minimize_still_pins_to_cpu(monkeypatch):
+    """The minimize path (device-resident transform state) keeps the CPU
+    host-pin fallback for a host-locked f without callback support."""
+    import sys
+
+    cross_mod = sys.modules["tntorch_tpu.cross"]
+    monkeypatch.setattr(cross_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cross_mod, "_backend_supports_callbacks", lambda: False)
+
+    dom = [np.linspace(0.0, 15.0, 16)] * 3
+
+    def f_host(*X):
+        return sum((np.asarray(x) - 7.0) ** 2 for x in X) + 1.0
+
+    mn = tn.minimum(tn.cross(function=lambda *X: sum((Xi - 7.0) ** 2 for Xi in X) + 1.0,
+                             domain=[jnp.asarray(d) for d in dom], eps=1e-9,
+                             verbose=False), verbose=False)
+    assert abs(float(mn) - 1.0) < 1e-6
 
 
 def test_hostlocked_f_not_pinned_when_callbacks_supported(monkeypatch):

@@ -399,3 +399,50 @@ def test_compilation_cache_put_sweeps_stale_tmps(tmp_path):
     cache.put("entry", b"v" * 64)
     assert not stale.exists()
     assert fresh.exists()
+
+
+def test_cache_quarantine_on_crash(tmp_path):
+    """A cache entry whose deserialization crashed a process (dead-pid
+    intent file) is quarantined on the next sweep; live-pid and own-pid
+    intents are left alone (utils._sweep_dead_intents)."""
+    import os
+
+    from tntorch_tpu.utils import _sweep_dead_intents
+
+    d = str(tmp_path)
+    # dead-pid intent naming an entry -> entry + sidecar removed
+    (tmp_path / "jit_foo-abc-cache").write_bytes(b"x")
+    (tmp_path / "jit_foo-abc.crc32").write_bytes(b"1:00000000")
+    (tmp_path / ".inflight.999999999").write_text("jit_foo-abc")
+    # own-pid intent naming another entry -> left alone
+    (tmp_path / "jit_bar-def-cache").write_bytes(b"y")
+    (tmp_path / f".inflight.{os.getpid()}").write_text("jit_bar-def")
+    _sweep_dead_intents(d)
+    assert not (tmp_path / "jit_foo-abc-cache").exists()
+    assert not (tmp_path / "jit_foo-abc.crc32").exists()
+    assert not (tmp_path / ".inflight.999999999").exists()
+    assert (tmp_path / "jit_bar-def-cache").exists()
+    assert (tmp_path / f".inflight.{os.getpid()}").exists()
+
+
+def test_cache_guard_records_and_clears_intent(tmp_path, monkeypatch):
+    """The guarded get_executable_and_time is installed, writes the key to
+    a per-pid intent file before deserializing, and clears it after."""
+    import os
+
+    import jax
+
+    from jax._src import compilation_cache as cc
+
+    assert getattr(cc.get_executable_and_time, "_tnt_guard", False)
+    # Cache lookups disabled (no singleton pollution); the guard still
+    # wraps the call with the intent-file lifecycle
+    monkeypatch.setattr(cc, "_get_cache", lambda backend: None)
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        out = cc.get_executable_and_time("k" * 10, None, object(), [])
+        assert out == (None, None)
+        assert not (tmp_path / f".inflight.{os.getpid()}").exists()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -1767,6 +1767,12 @@ def cross(
         # The host-pinned eager run leaves cores committed on the CPU
         # device; hand back uncommitted default-device arrays
         cores = [jax.device_put(np.asarray(c)) for c in cores]
+    elif _host_mode:
+        # One concatenated transfer instead of N device_puts (each pays a
+        # tunnel round trip; the result cores total ~30 MB at bench sizes)
+        from tntorch_tpu.cross_host import upload_cores
+
+        cores = upload_cores(cores)
     ret = tn.Tensor(list(cores))
     if return_info:
         info["lsets"] = lsets

@@ -30,13 +30,18 @@ def _initial_pivots(A: np.ndarray, top: int) -> np.ndarray:
     return index
 
 
-def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1):
+def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1,
+           init_rows=None):
     """Select r rows of A (N x r) whose submatrix has quasi-maximal volume.
 
     Returns (row_indices [r], C = A @ inv(A[rows]) [N x r]).
 
     :param top_k_index: restrict pivot candidates to the first `top_k_index`
         rows (reference maxvol.py:114,127-130); -1 means all rows.
+    :param init_rows: optional warm-start pivot rows (r distinct indices),
+        e.g. the previous cross iteration's pivots for the same mode —
+        skips the LU initialization and typically converges in a few swaps.
+        Falls back to the LU init if the warm block is singular.
 
     Dispatches to the native C++ kernel (csrc/maxvol.cpp) when available for
     real input; falls back to this NumPy implementation otherwise. Complex
@@ -52,9 +57,6 @@ def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1):
         return np.arange(N, dtype=np.int64), np.eye(N, dtype=A.dtype)
     top = N if top_k_index == -1 or top_k_index > N else max(top_k_index, r)
 
-    index = _initial_pivots(A, top)
-    rows = index[:r]
-
     if A.dtype.kind == "f" and top == N:
         # Hybrid fast path: BLAS computes the initial coefficients as one
         # row-major GEMM (C = A @ inv(A[rows]) — inv of the r x r pivot
@@ -67,17 +69,34 @@ def maxvol(A, tol: float = 1.05, max_iters: int = 100, top_k_index: int = -1):
 
         from tntorch_tpu._native import native_maxvol_iterate
 
-        with _warnings.catch_warnings():
-            # The LU-init pivot block is routinely near-singular at working
-            # precision when A has numerically deficient columns (smooth-
-            # function fibers); the swap iterations below are exactly the
-            # mechanism that repairs the pivot conditioning, so scipy's
-            # ill-conditioning warning here is noise.
-            _warnings.simplefilter("ignore", scipy.linalg.LinAlgWarning)
-            C = A @ scipy.linalg.inv(A[rows], check_finite=False)
-        rows = np.ascontiguousarray(rows, dtype=np.int64)
-        if native_maxvol_iterate(C, rows, tol, max_iters):
-            return rows, C
+        inits = []
+        if init_rows is not None and len(init_rows) == r \
+                and int(np.max(init_rows)) < N:
+            inits.append(np.ascontiguousarray(init_rows, dtype=np.int64))
+        inits.append(None)  # LU initialization (always valid)
+        for warm in inits:
+            rows = warm if warm is not None else np.ascontiguousarray(
+                _initial_pivots(A, top)[:r], dtype=np.int64)
+            try:
+                with _warnings.catch_warnings():
+                    # The init pivot block is routinely near-singular at
+                    # working precision when A has numerically deficient
+                    # columns (smooth-function fibers); the swap iterations
+                    # below are exactly the mechanism that repairs the
+                    # pivot conditioning, so scipy's ill-conditioning
+                    # warning here is noise.
+                    _warnings.simplefilter("ignore", scipy.linalg.LinAlgWarning)
+                    C = A @ scipy.linalg.inv(A[rows], check_finite=False)
+            except scipy.linalg.LinAlgError:
+                continue  # exactly singular warm block: try the next init
+            if warm is not None and not np.all(np.isfinite(C)):
+                continue  # stale warm pivots poisoned C: fall back to LU
+            if native_maxvol_iterate(C, rows, tol, max_iters):
+                return rows, C
+            break  # no native library: run the NumPy loop below
+
+    index = _initial_pivots(A, top)
+    rows = index[:r]
 
     # Coefficients C = A @ inv(A[rows]): solve A[rows]^T X^T = A^T
     C = scipy.linalg.solve(A[rows].T, A.T, check_finite=False).T

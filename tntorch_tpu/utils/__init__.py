@@ -272,6 +272,122 @@ def _patch_atomic_cache_writes():
     get._tnt_atomic = True
     _lru.LRUCache.put = put
     _lru.LRUCache.get = get
+    _patch_quarantine_on_crash()
+
+
+def _sweep_dead_intents(d):
+    """Quarantine cache entries named by intent files of DEAD pids (their
+    deserialization crashed the process; see _patch_quarantine_on_crash)."""
+    import os
+
+    try:
+        for name in os.listdir(d):
+            if not name.startswith(".inflight."):
+                continue
+            try:
+                pid = int(name.rsplit(".", 1)[1])
+            except ValueError:
+                continue
+            if pid == os.getpid() or os.path.exists(f"/proc/{pid}"):
+                continue  # our own, or a live process mid-deserialize
+            p = os.path.join(d, name)
+            try:
+                key = open(p).read().strip()
+            except OSError:
+                key = ""
+            if key and os.sep not in key:
+                for suffix in ("-cache", ".crc32"):
+                    try:
+                        os.unlink(os.path.join(d, key + suffix))
+                    except OSError:
+                        pass
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
+def _patch_quarantine_on_crash():
+    """Self-healing guard for cache entries that CRASH the deserializer.
+
+    CRC sidecars (above) catch torn bytes, but an entry can be bytewise
+    intact and still segfault ``backend.deserialize_executable`` (XLA's CPU
+    custom-call deserialization is fragile; observed once on this repo's
+    suite with a CRC-valid entry). A segfault cannot be caught in-process,
+    so instead: every cache-backed deserialization first records its key in
+    a per-pid intent file next to the cache (one tiny write), and removes
+    it on success. On startup, intent files whose pid is DEAD mark entries
+    that took a process down — those entries (and their sidecars) are
+    deleted so the next run recompiles instead of crashing the same way."""
+    import os
+
+    try:
+        from jax._src import compilation_cache as _cc
+    except Exception:
+        return
+    if getattr(_cc.get_executable_and_time, "_tnt_guard", False):
+        return
+    _orig = _cc.get_executable_and_time
+
+    def _cache_dir():
+        import jax
+
+        d = jax.config.jax_compilation_cache_dir
+        return d if d else os.environ.get("JAX_COMPILATION_CACHE_DIR")
+
+    _swept = [False]
+
+    def guarded(cache_key, compile_options, backend, executable_devices):
+        d = _cache_dir()
+        if not d or not os.path.isdir(d):
+            return _orig(cache_key, compile_options, backend,
+                         executable_devices)
+        if not _swept[0]:
+            _swept[0] = True
+            _sweep_dead_intents(d)
+        intent = os.path.join(d, f".inflight.{os.getpid()}")
+        try:
+            with open(intent, "w") as f:
+                f.write(cache_key)
+        except OSError:
+            return _orig(cache_key, compile_options, backend,
+                         executable_devices)
+        try:
+            return _orig(cache_key, compile_options, backend,
+                         executable_devices)
+        finally:
+            try:
+                os.unlink(intent)
+            except OSError:
+                pass
+
+    guarded._tnt_guard = True
+    _cc.get_executable_and_time = guarded
+
+    # Write-side guard: do not persistent-cache executables compiled for a
+    # PARTIAL set of the client's devices (e.g. a 4-of-8 CPU submesh).
+    # XLA:CPU's LoadedExecutable.serialize() has been observed to abort the
+    # process on such programs in long test runs (and a surviving entry
+    # segfaulted deserialize in a later process); the programs are small,
+    # so recompiling them costs seconds while a crash costs the whole run.
+    _orig_put = _cc.put_executable_and_time
+
+    def guarded_put(cache_key, module_name, executable, backend,
+                    compile_time):
+        try:
+            edevs = executable.local_devices()
+            ndev = len(backend.local_devices())
+            if 1 < len(edevs) < ndev:
+                return
+        except Exception:
+            pass
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+
+    guarded_put._tnt_guard = True
+    _cc.put_executable_and_time = guarded_put
 
 
 _patch_atomic_cache_writes()
