@@ -516,43 +516,80 @@ def test_batched_minimize_with_function():
     np.testing.assert_allclose(np.asarray(mn), gt, atol=1e-10)
 
 
+_MESH_MINIMIZE_DRIVE = r"""
+import os
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import importlib
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+import tntorch_tpu as tn
+
+crossmod = importlib.import_module("tntorch_tpu.cross")
+mesh = Mesh(np.array(jax.devices()), ("b",))
+members = [tn.randn(8, 8, 8, ranks_tt=3, key=jax.random.key(70 + i))
+           for i in range(8)]
+bt = tn.stack(members)
+dense = np.stack([np.asarray(m.numpy()) for m in members])
+
+mn = tn.minimum(bt, fuse=True, mesh=mesh, verbose=False)
+assert crossmod._BATCHED_MIN_STATS["onestream"]
+assert crossmod._BATCHED_MIN_STATS["mesh_sharded"]
+np.testing.assert_allclose(
+    np.asarray(mn), dense.reshape(8, -1).min(axis=1), atol=1e-10)
+am = tn.argmin(bt, fuse=True, mesh=mesh, verbose=False)
+for b, coords in enumerate(am):
+    assert abs(dense[b][coords] - dense[b].min()) < 1e-12
+
+# identical to the unsharded one-stream result
+mn2 = tn.minimum(bt, fuse=True, verbose=False)
+assert not crossmod._BATCHED_MIN_STATS["mesh_sharded"]
+np.testing.assert_allclose(np.asarray(mn), np.asarray(mn2), atol=1e-12)
+
+# batch not divisible by the mesh axis: stays one-stream, unsharded
+bt3 = tn.stack(members[:3])
+mn3 = tn.minimum(bt3, fuse=True, mesh=mesh, verbose=False,
+                 suppress_warnings=True)
+assert crossmod._BATCHED_MIN_STATS["onestream"]
+assert not crossmod._BATCHED_MIN_STATS["mesh_sharded"]
+np.testing.assert_allclose(
+    np.asarray(mn3), dense[:3].reshape(3, -1).min(axis=1), atol=1e-10)
+print("MESH MINIMIZE OK")
+"""
+
+
 def test_batched_minimize_mesh():
     """VERDICT r4 next #4: tn.minimum(batch_t, mesh=...) keeps the
     one-stream vmapped path, with the BATCH dimension sharded over the
-    mesh (B/D independent crosses per device, no collectives)."""
-    import importlib
+    mesh (B/D independent crosses per device, no collectives).
 
-    from jax.sharding import Mesh
+    Runs HERMETICALLY in a fresh subprocess: XLA:CPU segfaults compiling
+    the mesh-sharded vmapped chunk in a long-lived process that has
+    already compiled hundreds of programs (observed repeatedly at ~the
+    500th suite compile; the identical compile succeeds in a fresh
+    process — see also utils.suppress_persistent_cache, which keeps its
+    executable out of the persistent cache because serialize() of this
+    program class aborts XLA:CPU too)."""
+    import os
+    import subprocess
+    import sys as _sys
 
-    crossmod = importlib.import_module("tntorch_tpu.cross")
-    mesh = Mesh(np.array(jax.devices()[:4]), ("b",))
-    members = [tn.randn(8, 8, 8, ranks_tt=3, key=jax.random.key(70 + i))
-               for i in range(4)]
-    bt = tn.stack(members)
-    dense = np.stack([np.asarray(m.numpy()) for m in members])
+    from tntorch_tpu.utils import shared_cache_env
 
-    mn = tn.minimum(bt, fuse=True, mesh=mesh, verbose=False)
-    assert crossmod._BATCHED_MIN_STATS["onestream"]
-    assert crossmod._BATCHED_MIN_STATS["mesh_sharded"]
-    np.testing.assert_allclose(
-        np.asarray(mn), dense.reshape(4, -1).min(axis=1), atol=1e-10)
-    am = tn.argmin(bt, fuse=True, mesh=mesh, verbose=False)
-    for b, coords in enumerate(am):
-        assert abs(dense[b][coords] - dense[b].min()) < 1e-12
-
-    # identical to the unsharded one-stream result
-    mn2 = tn.minimum(bt, fuse=True, verbose=False)
-    assert not crossmod._BATCHED_MIN_STATS["mesh_sharded"]
-    np.testing.assert_allclose(np.asarray(mn), np.asarray(mn2), atol=1e-12)
-
-    # batch not divisible by the mesh axis: stays one-stream, unsharded
-    bt3 = tn.stack(members[:3])
-    mn3 = tn.minimum(bt3, fuse=True, mesh=mesh, verbose=False,
-                     suppress_warnings=True)
-    assert crossmod._BATCHED_MIN_STATS["onestream"]
-    assert not crossmod._BATCHED_MIN_STATS["mesh_sharded"]
-    np.testing.assert_allclose(
-        np.asarray(mn3), dense[:3].reshape(3, -1).min(axis=1), atol=1e-10)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = shared_cache_env()
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [_sys.executable, "-c", _MESH_MINIMIZE_DRIVE],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "MESH MINIMIZE OK" in proc.stdout
 
 
 def test_batched_minimize_fallback_warns(caplog):

@@ -446,3 +446,26 @@ def test_cache_guard_records_and_clears_intent(tmp_path, monkeypatch):
         assert not (tmp_path / f".inflight.{os.getpid()}").exists()
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_suppress_persistent_cache(tmp_path, monkeypatch):
+    """utils.suppress_persistent_cache skips cache reads and writes for
+    compiles on this thread (jax's own enable flag is memoized globally and
+    cannot be toggled mid-process)."""
+    import os
+
+    import jax
+
+    from tntorch_tpu import utils as u
+
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        f = jax.jit(lambda a: a * 3.25 + 0.5)
+        with u.suppress_persistent_cache():
+            assert u._cache_suppressed()
+            f(jnp.arange(5.0))
+        assert not u._cache_suppressed()
+        assert not [x for x in os.listdir(tmp_path) if x.endswith("-cache")]
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -381,9 +381,7 @@ def test_round_sharded_collective_invariant():
     collectives (e.g. an all-gather of a core) fails here."""
     from tntorch_tpu.parallel.algorithms import _gram_round_sharded_jit
 
-    from jax.sharding import Mesh
-
-    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    mesh = make_mesh((8,), ("tp",))
     N, I, R, rmax = 4, 16, 8, 4
     cores = tuple(
         jnp.ones((1 if n == 0 else R, I, 1 if n == N - 1 else R))
@@ -410,9 +408,7 @@ def test_sharded_dot_collective_invariant():
     """sharded_dot on rank-sharded operands: XLA may all-gather the small
     cores or psum the rank partials, but no collective may move more than
     one core's worth of data, and the count stays O(N)."""
-    from jax.sharding import Mesh
-
-    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    mesh = make_mesh((8,), ("tp",))
     N, I, R = 4, 16, 8
     t1 = tn.rand((I,) * N, ranks_tt=R, key=jax.random.key(0))
     t2 = tn.rand((I,) * N, ranks_tt=R, key=jax.random.key(1))

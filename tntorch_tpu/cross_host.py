@@ -181,32 +181,58 @@ def upload_cores(cores_np):
 
 def _gram_orth_q(V):
     """Well-conditioned column basis of tall V spanning range(V), via the
-    Gram eigendecomposition: Q = V @ (U / sqrt(clip(lam))), columns then
-    normalized. All GEMM/small-eigh shaped (one syrk + one k x k eigh + one
-    GEMM — ~4x faster here than LAPACK Householder QR) and, unlike
-    CholeskyQR, never fails on rank-deficient input: deficient directions
-    come out as normalized roundoff noise, the same "arbitrary but usable"
-    completion Householder QR gives them.
+    Gram eigendecomposition in FLOAT64: Q = V @ (U / sqrt(clip(lam))),
+    columns normalized, cast back to V's dtype. GEMM/small-eigh shaped (one
+    f64 syrk + one k x k eigh + one f64 GEMM — still ~2x faster here than
+    LAPACK Householder QR on f32 input) and robust to rank deficiency.
+
+    Why f64 accumulation: the Gram method squares the condition number, so
+    an f32 Gram caps the attainable interpolation accuracy at
+    ~kappa(V)^2 * eps_f32 — measured on the 16^4 Hilbert drive it plateaued
+    at val_eps ~1e-4 where the Householder eager path reaches <1e-5.
+    Accumulating in f64 removes the squaring penalty at f32 output
+    precision for ~30% extra cost (the swap loop, not this, dominates).
 
     Any basis of the form Q = V @ W (W invertible) leaves the maxvol
     interpolation core EXACT: Q @ inv(Q[rows]) = V @ inv(V[rows]) (the
     right factor cancels), so the orthogonalization choice only affects
-    pivot-selection conditioning, never the interpolation identity."""
-    G = V.T @ V
+    pivot-selection conditioning, never the interpolation identity. The
+    one exception: EXACTLY dead directions (duplicated fiber columns from
+    repeated pivot rows make V's residual identically zero) come out as
+    zero columns, where no right factor can help — those get
+    deterministic pseudo-random columns, projected orthogonal to the live
+    ones (Householder's completion class: arbitrary, orthonormal, and
+    crucially NOT leaking into the live subspace's interpolation)."""
+    m, k = V.shape
+    Vd = V.astype(np.float64, copy=False)
+    G = Vd.T @ Vd
     try:
         lam, U = scipy.linalg.eigh(G, check_finite=False)
     except scipy.linalg.LinAlgError:
         Qf = scipy.linalg.qr(V, mode="economic", check_finite=False)[0]
         return Qf, Qf.shape[1]
     lmax = float(lam[-1]) if lam[-1] > 0 else 1.0
-    tiny = np.finfo(V.dtype).tiny
-    s = 1.0 / np.sqrt(np.maximum(lam, lmax * 1e-14) + tiny)
+    s = 1.0 / np.sqrt(np.maximum(lam, lmax * 1e-30) + np.finfo(np.float64).tiny)
+    # The right factor W is computed at f64 (that is where the kappa^2
+    # sensitivity lives); the big basis GEMM itself runs in the work dtype
+    # — its elementwise roundoff is plain eps(work), not squared
     Q = V @ (U * s).astype(V.dtype)
     cn = np.sqrt(np.einsum("ij,ij->j", Q, Q))
+    dead = np.flatnonzero(cn < 1e-3)
     Q /= np.maximum(cn, np.finfo(V.dtype).eps).astype(V.dtype)
-    # Numerically significant column count (columns are in ASCENDING
-    # eigenvalue order): directions below the Gram roundoff floor are
-    # normalized noise whose pivot choice cannot matter
+    if dead.size:
+        live = np.flatnonzero(cn >= 1e-3)
+        rng = np.random.default_rng(m * 1000003 + k)
+        R = rng.standard_normal((m, dead.size)).astype(V.dtype)
+        Ql = Q[:, live]
+        R -= Ql @ (Ql.T @ R)  # keep the completion out of the live subspace
+        R /= np.maximum(np.sqrt(np.einsum("ij,ij->j", R, R)),
+                        np.finfo(V.dtype).eps)
+        Q[:, dead] = R
+    # Numerically significant column count AT THE WORK DTYPE (columns are
+    # in ASCENDING eigenvalue order): directions below the work dtype's
+    # Gram noise floor are arbitrary-completion material whose pivot
+    # choice cannot matter
     eps_d = float(np.finfo(V.dtype).eps)
     k0 = int(np.sum(lam > lmax * (16.0 * eps_d) ** 2))
     return Q, max(k0, 1)

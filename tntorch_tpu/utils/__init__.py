@@ -275,6 +275,37 @@ def _patch_atomic_cache_writes():
     _patch_quarantine_on_crash()
 
 
+_persist_cache_suppressed = threading.local()
+
+
+def _cache_suppressed() -> bool:
+    return getattr(_persist_cache_suppressed, "on", False)
+
+
+def suppress_persistent_cache():
+    """Context manager: skip persistent-compilation-cache reads AND writes
+    for compiles issued on this thread while active.
+
+    Implemented in this library's cache-guard layer (see
+    _patch_quarantine_on_crash) because jax's own
+    ``jax_enable_compilation_cache`` flag is memoized process-globally on
+    first use (compilation_cache.is_cache_used) — toggling it mid-process
+    has no effect. Used around programs whose serialization is known to
+    crash XLA:CPU (the vmapped batched-minimize chunk)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prev = getattr(_persist_cache_suppressed, "on", False)
+        _persist_cache_suppressed.on = True
+        try:
+            yield
+        finally:
+            _persist_cache_suppressed.on = prev
+
+    return _cm()
+
+
 def _sweep_dead_intents(d):
     """Quarantine cache entries named by intent files of DEAD pids (their
     deserialization crashed the process; see _patch_quarantine_on_crash)."""
@@ -340,6 +371,8 @@ def _patch_quarantine_on_crash():
     _swept = [False]
 
     def guarded(cache_key, compile_options, backend, executable_devices):
+        if _cache_suppressed():
+            return None, None
         d = _cache_dir()
         if not d or not os.path.isdir(d):
             return _orig(cache_key, compile_options, backend,
@@ -376,6 +409,8 @@ def _patch_quarantine_on_crash():
 
     def guarded_put(cache_key, module_name, executable, backend,
                     compile_time):
+        if _cache_suppressed():
+            return
         try:
             edevs = executable.local_devices()
             ndev = len(backend.local_devices())
