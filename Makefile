@@ -9,8 +9,18 @@ $(NATIVE): csrc/maxvol.cpp
 	mkdir -p tntorch_tpu/_native
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
+# Default suite: sequential pytest processes of 4 files each
+# (tests/run_suite.py). On small hosts XLA:CPU sporadically crashes a
+# process once it has compiled several hundred programs (environmental —
+# reproduced on unmodified old revisions); bounding process lifetime keeps
+# the sweep completable and contains any crash to one batch. All batches
+# share the persistent compilation cache, so warm wall time matches the
+# monolithic run.
 test:
-	python -m pytest tests/ -q -n 4
+	python tests/run_suite.py
+
+test-monolithic:
+	python -m pytest tests/ -q
 
 test-serial:
 	python -m pytest tests/ -q
