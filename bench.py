@@ -174,10 +174,16 @@ def _round_kernel(rmax, precision, edge_solver):
     return kernel
 
 
-def bench_round_chained(cores_np, rmax, precision, edge_solver, iters=3, K=8,
+def bench_round_chained(cores_np, rmax, precision, edge_solver, iters=10, K=8,
                         repeats=5):
     """Chained per-sweep device wall time under a precision policy mode.
-    Returns (median_seconds_per_sweep, mad_pct)."""
+    Returns (median_seconds_per_sweep, mad_pct).
+
+    iters*K sweeps per timed block: the tunnel's sync latency is
+    fat-tailed (~3 ms typical, tens of ms in the tail), so a block must
+    hold ~100 ms of device work or the MEDIAN block mostly measures the
+    tail — observed as a spurious 2x "regression" at iters=3 while the
+    old min-of-3 statistic dodged the tail and the chip was unchanged."""
     import jax.numpy as jnp
 
     cores = tuple(jnp.asarray(c) for c in cores_np)
@@ -217,7 +223,7 @@ def bench_round_single_dispatch(cores_np, rmax, iters=8, repeats=5):
     return med / iters, mad
 
 
-def bench_round_batched(cores_np, rmax, B=32, iters=3, edge_solver="eigh",
+def bench_round_batched(cores_np, rmax, B=32, iters=6, edge_solver="eigh",
                         repeats=5):
     """Natively-batched Gram rounding over B independent TTs — the
     throughput number (single-stream is floored by dispatch latency). On
@@ -389,8 +395,11 @@ def bench_cross_chunk_sweep():
     Returns ({'first,next': seconds}, best_key)."""
     import jax.numpy as jnp
 
+    import importlib
+
     import tntorch_tpu as tn
-    from tntorch_tpu import cross as crossmod
+
+    crossmod = importlib.import_module("tntorch_tpu.cross")
 
     d = [jnp.linspace(1, 32, 32, dtype=jnp.float32)] * 5
 
@@ -756,9 +765,11 @@ def main():
                           ("tt_round_bw_bf16_gflops", "bf16"),
                           ("tt_round_bw_high_gflops", "high")]:
             t_p, mad = bench_round_chained(cores2, rmax2, prec, "rand",
-                                           iters=2, K=4, repeats=4)
+                                           iters=8, K=4, repeats=4)
             _record(extra, key, flops2 / t_p / 1e9, mad)
-        t_bb, mad = bench_round_batched(cores2, rmax2, B=4, iters=2,
+        # B=2: the B=4 variant's remote compile failed with HTTP 500 (the
+        # vmapped 4x(256,512,256) program overwhelms the compile helper)
+        t_bb, mad = bench_round_batched(cores2, rmax2, B=2, iters=4,
                                         edge_solver="rand", repeats=4)
         _record(extra, "tt_round_bw_rand_batched_gflops", flops2 / t_bb / 1e9,
                 mad, 1)

@@ -264,12 +264,19 @@ def _orth_and_pivot(M):
     lj_sig, _ = _host_maxvol(sig, 1.05, 100)
     # LU pivots for the noise columns over the not-yet-selected rows (the
     # zeroed copy only steers the pivot SELECTION; the interpolation block
-    # below uses the true rows)
+    # below uses the true rows). The LU runs on the top-row-norm CANDIDATE
+    # subset only (4x oversampling) — partial pivoting would pick
+    # high-norm rows anyway, and a full-height LU here cost more than the
+    # entire maxvol swap loop.
     noise_masked = Q[:, : k - k0].copy()
     noise_masked[lj_sig] = 0.0  # zeroed rows are never chosen by pivoting
     from tntorch_tpu.maxvol import _initial_pivots
 
-    lj_noise = _initial_pivots(noise_masked, m)[: k - k0]
+    d = k - k0
+    ncand = min(m, max(4 * d, d + 8))
+    rn = np.einsum("ij,ij->i", noise_masked, noise_masked)
+    cand = np.argpartition(rn, -ncand)[-ncand:]
+    lj_noise = cand[_initial_pivots(noise_masked[cand], ncand)[:d]]
     lj = np.concatenate([np.asarray(lj_sig, dtype=np.int64),
                          np.asarray(lj_noise, dtype=np.int64)])
     # Interpolation core on the combined row set; the column order of C

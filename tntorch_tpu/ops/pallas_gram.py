@@ -46,14 +46,30 @@ _TILE_I = 16  # mode-index tile: T tile = (Rl, TILE_I * Rr) stays in VMEM
 # 26.08M against the 16M limit, 128x16x128 compiled at ~6.5M
 _VMEM_BUDGET = 14 * 2**20
 _COPIES = 6
+# The weighted-Gram kernel (W product + two layout casts live at once):
+# Mosaic measured 19.45M where the 6-copy model said 12.6M
+_COPIES_WGRAM = 10
 
 
-def _pick_tile(Rl, I, Rr):
-    """Largest power-of-two tile <= _TILE_I that divides I and fits VMEM."""
+def _pick_tile(Rl, I, Rr, copies=None):
+    """Largest power-of-two tile <= _TILE_I that divides I and fits VMEM.
+
+    ``copies`` models Mosaic's scoped-VMEM footprint in tile-sized buffers;
+    the weighted-Gram kernel carries more live copies (the W product and
+    both layout casts) than the plain Gram edge — measured 19.45M at a
+    tile the 6-copy model priced at 12.6M — so it passes a larger factor.
+    """
+    if copies is None:
+        copies = _COPIES
     tile = _TILE_I
-    while tile > 1 and (I % tile or _COPIES * Rl * tile * Rr * 4 > _VMEM_BUDGET):
+    while tile > 1 and (I % tile or copies * Rl * tile * Rr * 4 > _VMEM_BUDGET):
         tile //= 2
-    if I % tile or _COPIES * Rl * tile * Rr * 4 > _VMEM_BUDGET:
+    if I % tile or copies * Rl * tile * Rr * 4 > _VMEM_BUDGET:
+        return 0
+    if tile < 8 and tile != I:
+        # Pallas TPU requires the sublane (second-to-last) block dim be a
+        # multiple of 8 or the full axis: a shape that only fits VMEM at
+        # tile < 8 is unsupported (callers fall back to the einsum path)
         return 0
     return tile
 
@@ -182,7 +198,7 @@ def pallas_wgram(C, W, interpret: bool = False, precision: str = "highest"):
     if not HAVE_PALLAS:
         raise RuntimeError("Pallas unavailable in this jaxlib build")
     B, Rl, I, Rr = C.shape
-    tile = _pick_tile(Rl, I, Rr)
+    tile = _pick_tile(Rl, I, Rr, copies=_COPIES_WGRAM)
     assert tile, "unsupported shape (check wgram_supported first)"
     grid = (B, I // tile)
     return pl.pallas_call(
@@ -209,7 +225,8 @@ def wgram_supported(C) -> bool:
     if not HAVE_PALLAS or C.dtype != jnp.float32 or C.ndim != 4:
         return False
     B, Rl, I, Rr = C.shape
-    return Rl % 8 == 0 and Rr % 128 == 0 and _pick_tile(Rl, I, Rr) > 0
+    return (Rl % 8 == 0 and Rr % 128 == 0
+            and _pick_tile(Rl, I, Rr, copies=_COPIES_WGRAM) > 0)
 
 
 def _proj2_kernel(y_ref, c_ref, x_ref, out_ref, *, mm_precision):
