@@ -457,7 +457,7 @@ def bench_cross_callback():
     return nsamples[0] / med, mad
 
 
-def bench_cross_callback_paired(pairs=3):
+def bench_cross_callback_paired(pairs=4):
     """Host-locked cross vs the torch-CPU sweep as PAIRED, interleaved
     measurements: both contenders run back to back within each pair, so
     the box's minute-scale load drift (observed swinging individual rates
