@@ -27,13 +27,11 @@ test-serial:
 
 # Quick inner-loop tier (VERDICT r4 next #10): skips the subprocess example
 # runs, the fuzz loops, and the full reference-parity sweeps — those only
-# need to run before a merge/bench, not on every edit. ~2 min warm.
+# need to run before a merge/bench, not on every edit. Batched like `test`
+# (the XLA:CPU crash horizon applies to any long process on small hosts).
+# A few minutes warm on an unloaded host.
 test-quick:
-	python -m pytest tests/ -q -x \
-	  --ignore=tests/test_examples.py \
-	  --ignore=tests/test_fuzz.py \
-	  --ignore=tests/test_reference_parity.py \
-	  --ignore=tests/test_tpu_live.py
+	python tests/run_suite.py --quick
 
 bench:
 	python bench.py

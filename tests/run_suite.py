@@ -13,7 +13,9 @@ below the observed failure horizon and contains any crash to one batch.
 All batches share the persistent compilation cache (tests/conftest.py), so
 the total wall time matches the monolithic run after the first pass.
 
-Usage:  python tests/run_suite.py [extra pytest args...]
+Usage:  python tests/run_suite.py [--quick] [extra pytest args...]
+        --quick additionally skips the subprocess examples, fuzz loops and
+        full reference-parity sweeps (the inner-loop tier; `make test-quick`)
 Exit code: 0 iff every batch passed.
 """
 
@@ -28,13 +30,19 @@ import time
 BATCH_SIZE = 4
 # Opt-in / special files that are not part of the default sweep
 EXCLUDE = {"test_examples.py", "test_tpu_live.py"}
+QUICK_EXCLUDE = EXCLUDE | {"test_fuzz.py", "test_reference_parity.py"}
 
 
 def main(argv):
+    argv = list(argv)
+    exclude = EXCLUDE
+    if "--quick" in argv:
+        argv.remove("--quick")
+        exclude = QUICK_EXCLUDE
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(
         f for f in glob.glob(os.path.join(here, "test_*.py"))
-        if os.path.basename(f) not in EXCLUDE
+        if os.path.basename(f) not in exclude
     )
     batches = [files[i:i + BATCH_SIZE] for i in range(0, len(files), BATCH_SIZE)]
     failures = []

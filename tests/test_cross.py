@@ -629,3 +629,54 @@ def test_batched_minimize_fallback_warns(caplog):
     with caplog.at_level(logging.WARNING, logger="tntorch_tpu"):
         tn.minimum(bt, fuse=False, verbose=False)
     assert not any("falling back" in r.message for r in caplog.records)
+
+
+def test_host_sweep_internals():
+    """Unit coverage for cross_host's numerics helpers (the end-to-end host
+    sweep tests above exercise them together; these pin the contracts)."""
+    from tntorch_tpu.cross_host import (
+        _gram_orth_q, _np_tt_forward, _orth_and_pivot, download_cores,
+        upload_cores,
+    )
+
+    rng = np.random.default_rng(0)
+    # Well-conditioned: Q orthonormal, all columns significant
+    V = rng.standard_normal((500, 12))
+    Q, k0 = _gram_orth_q(V)
+    assert k0 == 12
+    assert np.allclose(Q.T @ Q, np.eye(12), atol=1e-8)
+    # Rank-deficient with EXACT duplicate columns (f32 work dtype — the
+    # significance cutoff keys on the work dtype's Gram noise floor, which
+    # at f64 sits below f64-Gram roundoff by design): no zero columns out,
+    # completion orthogonal to the live subspace
+    Vd = np.concatenate([V[:, :5], V[:, :3], V[:, :4]], axis=1)  # rank 5
+    Vd = Vd.astype(np.float32)
+    Qd, k0d = _gram_orth_q(Vd)
+    assert k0d == 5, k0d
+    cn = np.sqrt((Qd.astype(np.float64) ** 2).sum(0))
+    assert cn.min() > 0.9, cn
+    live = Qd[:, -k0d:].astype(np.float64)
+    dead = Qd[:, : Qd.shape[1] - k0d].astype(np.float64)
+    assert np.abs(live.T @ dead).max() < 1e-4
+    # _orth_and_pivot: interpolation identity C[lj] == I on any input
+    M = rng.standard_normal((300, 10)) @ rng.standard_normal((10, 20))
+    M = np.ascontiguousarray(M + 1e-9 * rng.standard_normal(M.shape))
+    lj, C = _orth_and_pivot(np.ascontiguousarray(M[:, :16]))
+    assert len(lj) == 16 and len(set(lj.tolist())) == 16
+    assert np.allclose(C[lj], np.eye(16), atol=1e-6)
+    # TT forward matches einsum chain
+    cores = [rng.standard_normal((1, 6, 3)), rng.standard_normal((3, 6, 4)),
+             rng.standard_normal((4, 6, 1))]
+    X = rng.integers(0, 6, (40, 3))
+    ref = np.einsum(
+        "aib,bjc,ckd->ijk", cores[0], cores[1], cores[2]
+    )[X[:, 0], X[:, 1], X[:, 2]]
+    np.testing.assert_allclose(_np_tt_forward(cores, X), ref, atol=1e-10)
+    # upload/download round trip
+    ups = upload_cores(cores)
+    t = tn.Tensor([jnp.asarray(c) for c in cores])
+    downs = download_cores([t])[0]
+    for a, b in zip(ups, cores):
+        np.testing.assert_allclose(np.asarray(a), b, atol=0)
+    for a, b in zip(downs, cores):
+        np.testing.assert_allclose(a, b, atol=0)

@@ -179,6 +179,26 @@ def upload_cores(cores_np):
     return out
 
 
+_completion_cache = {}  # (m, d, dtype) -> cached unit-norm random block
+
+
+def _completion_block(m, d, dtype):
+    """Deterministic pseudo-random (m, d) unit-column block for completing
+    a rank-deficient basis. Cached per shape: the same fiber-matrix shapes
+    recur every sweep iteration, and the rng draw (not the GEMMs) would
+    otherwise dominate the completion's cost."""
+    key = (m, d, np.dtype(dtype).str)
+    blk = _completion_cache.get(key)
+    if blk is None:
+        rng = np.random.default_rng(m * 1000003 + d)
+        blk = rng.standard_normal((m, d)).astype(dtype)
+        blk /= np.sqrt(np.einsum("ij,ij->j", blk, blk))
+        if len(_completion_cache) > 8:
+            _completion_cache.clear()
+        _completion_cache[key] = blk
+    return blk.copy()
+
+
 def _gram_orth_q(V):
     """Well-conditioned column basis of tall V spanning range(V), via the
     Gram eigendecomposition in FLOAT64: Q = V @ (U / sqrt(clip(lam))),
@@ -218,24 +238,24 @@ def _gram_orth_q(V):
     # — its elementwise roundoff is plain eps(work), not squared
     Q = V @ (U * s).astype(V.dtype)
     cn = np.sqrt(np.einsum("ij,ij->j", Q, Q))
-    dead = np.flatnonzero(cn < 1e-3)
     Q /= np.maximum(cn, np.finfo(V.dtype).eps).astype(V.dtype)
-    if dead.size:
-        live = np.flatnonzero(cn >= 1e-3)
-        rng = np.random.default_rng(m * 1000003 + k)
-        R = rng.standard_normal((m, dead.size)).astype(V.dtype)
-        Ql = Q[:, live]
-        R -= Ql @ (Ql.T @ R)  # keep the completion out of the live subspace
-        R /= np.maximum(np.sqrt(np.einsum("ij,ij->j", R, R)),
-                        np.finfo(V.dtype).eps)
-        Q[:, dead] = R
     # Numerically significant column count AT THE WORK DTYPE (columns are
     # in ASCENDING eigenvalue order): directions below the work dtype's
-    # Gram noise floor are arbitrary-completion material whose pivot
-    # choice cannot matter
+    # Gram noise floor carry untrustworthy content — whether exactly-zero
+    # (duplicated fiber columns) or normalized in-span roundoff, pivoting
+    # and interpolating on them would poison the live subspace. ALL of
+    # them are replaced by a deterministic random completion projected
+    # orthogonal to the live columns (Householder QR's completion class).
     eps_d = float(np.finfo(V.dtype).eps)
-    k0 = int(np.sum(lam > lmax * (16.0 * eps_d) ** 2))
-    return Q, max(k0, 1)
+    k0 = max(int(np.sum(lam > lmax * (16.0 * eps_d) ** 2)), 1)
+    if k0 < k:
+        R = _completion_block(m, k - k0, V.dtype)
+        Ql = Q[:, k - k0:]
+        R = R - Ql @ (Ql.T @ R)  # keep the completion out of the live span
+        R = R / np.maximum(np.sqrt(np.einsum("ij,ij->j", R, R)),
+                           np.finfo(V.dtype).eps)
+        Q[:, : k - k0] = R
+    return Q, k0
 
 
 def _orth_and_pivot(M):
