@@ -871,6 +871,14 @@ def main():
             base_evals_s, base_mad = bench_cross_torch_cpu()
             _record(extra, "cross_evals_per_s_vs_torch_cpu",
                     evals_s / base_evals_s, base_mad)
+            # Context for vs_prev: the torch baseline shares this repo's
+            # hybrid BLAS+C++ maxvol, which got ~6x faster this round —
+            # the as-shipped reference class (pure-NumPy pivot loop) is
+            # recorded separately
+            naive_s, naive_mad = bench_cross_torch_cpu(
+                repeats=2, native_maxvol=False)
+            _record(extra, "cross_evals_per_s_vs_ref_naive",
+                    evals_s / naive_s, naive_mad)
         except Exception as e:
             print(f"# cross torch baseline failed: {e}", file=sys.stderr)
     except Exception as e:
