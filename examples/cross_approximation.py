@@ -63,6 +63,23 @@ def main():
     print("grad through cross_forward: |g0| = {:.4g}".format(
         float(jnp.abs(g[0]).max())))
 
+    # Host-only functions (NumPy ufuncs, wrapped C libraries — anything
+    # that cannot trace) still cross-approximate: where the backend hosts
+    # callbacks they embed into the fused device program; elsewhere the
+    # whole sweep runs natively on the host (NumPy/BLAS/C++ — cross_host.py;
+    # fuse='host' forces that path explicitly)
+    import numpy as np
+
+    def black_box(a, b, c):
+        return np.sqrt(np.asarray(a) ** 2 + np.asarray(b) ** 2
+                       + np.asarray(c) ** 2)
+
+    dom3 = [jnp.linspace(0.0, 1.0, 32)] * 3
+    hb, hinfo = tn.cross(function=black_box, domain=dom3, eps=1e-6,
+                         verbose=False, fuse="host", return_info=True)
+    print("host-sweep cross: val_eps={:.2e}, ranks={}".format(
+        hinfo["val_eps"], list(hb.ranks_tt)))
+
 
 if __name__ == "__main__":
     main()
