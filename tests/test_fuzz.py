@@ -190,3 +190,62 @@ def test_fuzz_stack_vs_dense_oracle():
         # unstack inverse
         for b in range(B):
             assert np.allclose(np.asarray(st[b].numpy()), dense[b], atol=1e-9)
+
+
+def test_fuzz_host_sweep_vs_eager_cross():
+    """The NumPy host sweep (cross_host.py) must agree with the eager
+    device path across random configurations: same rng schedule, same rank
+    caps, equivalent pivots (both eps-converge on the same smooth
+    functions). Randomized over dims, mode sizes, grids and function
+    families."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(123)
+    fams = [
+        lambda *X: 1.0 / (sum(X) + 1.0),
+        lambda *X: sum(np.exp(-np.asarray(x) ** 2) if isinstance(x, np.ndarray)
+                       else jnp.exp(-x ** 2) for x in X),
+        lambda *X: np.cos(sum(np.asarray(x) for x in X))
+        if isinstance(X[0], np.ndarray) else jnp.cos(sum(X)),
+    ]
+    for trial in range(6):
+        N = int(rng.integers(2, 5))
+        I = int(rng.integers(6, 20))
+        fam = fams[trial % len(fams)]
+        seed = int(rng.integers(0, 10**6))
+        dom = [jnp.linspace(0.0, 2.0, I)] * N
+
+        def f_host(*X):
+            return np.asarray(fam(*[np.asarray(x) for x in X]))
+
+        th, ih = tn.cross(function=f_host, domain=dom, eps=1e-8,
+                          verbose=False, seed=seed, fuse="host",
+                          return_info=True, suppress_warnings=True)
+        te, ie = tn.cross(function=fam, domain=dom, eps=1e-8, verbose=False,
+                          seed=seed, suppress_warnings=True,
+                          return_info=True)
+        assert ih["host_sweep"], trial
+        assert ih["nsamples"] == ie["nsamples"], (trial, ih, ie)
+        rel = float(tn.relative_error(te, th))
+        assert rel < 1e-6, (trial, N, I, rel)
+        assert ih["val_eps"] < 1e-6, (trial, ih["val_eps"])
+
+
+def test_maxvol_init_rows_warm_start():
+    """maxvol's warm-start API: valid init rows converge to an equivalent
+    quasi-maxvol set; degenerate init rows fall back to the LU path."""
+    from tntorch_tpu.maxvol import maxvol
+
+    rng = np.random.default_rng(5)
+    A = np.linalg.qr(rng.standard_normal((800, 24)))[0]
+    idx_cold, C_cold = maxvol(A)
+    idx_warm, C_warm = maxvol(A, init_rows=idx_cold)
+    # Warm-starting from a converged pivot set is a no-op
+    assert sorted(idx_warm.tolist()) == sorted(idx_cold.tolist())
+    # Degenerate warm rows (all identical -> singular block): falls back
+    bad = np.zeros(24, dtype=np.int64)
+    idx_bad, C_bad = maxvol(A, init_rows=bad)
+    assert len(set(idx_bad.tolist())) == 24
+    vol_bad = abs(np.linalg.slogdet(A[idx_bad])[1])
+    vol_cold = abs(np.linalg.slogdet(A[idx_cold])[1])
+    assert abs(vol_bad - vol_cold) < 2.0  # same quasi-maxvol volume class
