@@ -469,3 +469,34 @@ def test_suppress_persistent_cache(tmp_path, monkeypatch):
         assert not [x for x in os.listdir(tmp_path) if x.endswith("-cache")]
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_take_mode_onehot_equals_gather(monkeypatch):
+    """utils.take_mode: the one-hot-GEMM gather (taken on accelerator
+    backends for large 1-D indices) matches the plain fancy gather exactly,
+    for 3-D TT cores, batched 4-D cores and 2-D factors; small indices take
+    the plain path."""
+    from tntorch_tpu import utils as u
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 32, 600))
+    monkeypatch.setattr(u.jax, "default_backend", lambda: "tpu")
+    core3 = jnp.asarray(rng.standard_normal((4, 32, 5)))
+    np.testing.assert_allclose(
+        np.asarray(u.take_mode(core3, idx)),
+        np.asarray(core3[:, idx, :]), atol=1e-12)
+    core4 = jnp.asarray(rng.standard_normal((2, 4, 32, 5)))
+    np.testing.assert_allclose(
+        np.asarray(u.take_mode(core4, idx)),
+        np.asarray(core4[:, :, idx, :]), atol=1e-12)
+    mat = jnp.asarray(rng.standard_normal((32, 7)))
+    np.testing.assert_allclose(
+        np.asarray(u.take_mode(mat, idx)), np.asarray(mat[idx]), atol=1e-12)
+    # Small index / int dtype: plain gather path
+    small = idx[:10]
+    np.testing.assert_allclose(
+        np.asarray(u.take_mode(core3, small)),
+        np.asarray(core3[:, small, :]), atol=0)
+    ints = jnp.asarray(rng.integers(0, 9, (32, 3)))
+    np.testing.assert_allclose(
+        np.asarray(u.take_mode(ints, idx)), np.asarray(ints[idx]), atol=0)

@@ -813,6 +813,8 @@ def _fused_iteration_body(f, tensor_cores, rints_in, Xs_val_mat, ys_val, norm_ys
 def _eval_points_body(tensor_cores, X):
     """Evaluate each input tensor (TT/CP hybrid cores) at integer points X
     (P x N) — the compressed fancy-index diagonal, as one traced program."""
+    from tntorch_tpu.utils import take_mode
+
     outs = []
     with jax.default_matmul_precision("highest"):
         for cores in tensor_cores:
@@ -821,7 +823,7 @@ def _eval_points_body(tensor_cores, X):
             v = jnp.ones((P0, r0), dtype=cores[0].dtype)
             for n, c in enumerate(cores):
                 if c.ndim == 3:
-                    v = jnp.einsum("br,rbs->bs", v, c[:, X[:, n], :])
+                    v = jnp.einsum("br,rbs->bs", v, take_mode(c, X[:, n]))
                 else:  # CP factor acts as a diagonal core
                     v = v * c[X[:, n], :]
             outs.append(v.sum(axis=1) if cores[-1].ndim == 2 else v[:, 0])

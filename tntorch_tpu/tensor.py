@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import tntorch_tpu as tn
-from tntorch_tpu.utils import asarray, to_numpy
+from tntorch_tpu.utils import asarray, take_mode, to_numpy
 from tntorch_tpu.utils import policy_precision as _policy_precision
 
 
@@ -925,8 +925,8 @@ class Tensor:
         def get_key(cnt, k):
             """Slice mode `cnt` at `k` (int or array), absorbing the Tucker factor."""
             if self.Us[cnt] is None:
-                return bsel(self.cores[cnt][..., k, :])
-            sl = bsel(self.Us[cnt][..., k, :])
+                return bsel(take_mode(self.cores[cnt], k))
+            sl = bsel(take_mode(self.Us[cnt], k))
             core = bsel(self.cores[cnt])
             if nd(sl) == 1:  # k was an int
                 if nd(core) == 3:

@@ -475,6 +475,33 @@ def asarray(x: Any, dtype: Optional[Any] = None) -> jax.Array:
     return jnp.asarray(x, dtype=dtype)
 
 
+def take_mode(arr: jax.Array, idx) -> jax.Array:
+    """``arr[..., idx, :]`` — gather along the mode axis (-2).
+
+    On accelerator backends with a large 1-D index, the gather is computed
+    as a one-hot matmul instead: TPU lowers a big fancy-gather followed by
+    the TT chain's batched tiny matvecs poorly, while the equivalent
+    (P, I) x (I, r*s) product is MXU-shaped — measured 1.8x faster for the
+    completion training step (P=20k, I=64, r=8) with f32-exact values (the
+    one-hot GEMM is pinned to HIGHEST precision: it replaces an exact
+    gather, so it must not inherit a lossy ambient matmul mode; bf16
+    single-pass would round every gathered value by ~4e-3). Small, scalar,
+    integer-dtype, or CPU-side gathers take the plain path."""
+    if (
+        getattr(idx, "ndim", None) == 1
+        and getattr(arr, "ndim", 0) >= 2
+        and jnp.issubdtype(arr.dtype, jnp.floating)
+        and int(idx.shape[0]) >= 512
+        and int(arr.shape[-2]) * int(idx.shape[0]) <= 100_000_000
+        and jax.default_backend() != "cpu"
+    ):
+        E = jax.nn.one_hot(idx, arr.shape[-2], dtype=arr.dtype)
+        return jnp.einsum(
+            "pi,...is->...ps", E, arr, precision=jax.lax.Precision.HIGHEST
+        )
+    return arr[..., idx, :]
+
+
 def to_numpy(x: Any) -> np.ndarray:
     """Convert torch/jax/NumPy/compressed-Tensor input to a NumPy array.
 
